@@ -1,0 +1,261 @@
+"""Padding / packing of ragged molecule samples into static-shape batches.
+
+This is the TPU replacement for the PyG DataLoader + `HData.__inc__` offset
+collation (`reference equihgnn/data/utils.py:172-178`) and for the per-forward
+Python `e_batch` loop (`reference equihgnn/models/mhnn.py:59-62`): graph
+assignment vectors are precomputed here, on the host, once per batch.
+
+A `BatchSpec` fixes (num_graphs, N_pad, E_pad, nnz_pad) so every batch of a
+loader compiles exactly once. The LAST graph slot is reserved as the padding
+graph (jraph convention): padded atoms/hyperedges/incidence all point into it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from equihgnn_tpu.data.structures import (
+    GraphBatch,
+    GraphSample,
+    HyperGraphBatch,
+    HyperGraphSample,
+    NUM_ATOM_FEATURES,
+    NUM_BOND_FEATURES,
+)
+
+
+@dataclass(frozen=True)
+class BatchSpec:
+    """Static capacities of a padded batch (all compile-time constants)."""
+
+    num_graphs: int  # including the reserved padding graph
+    num_atoms: int
+    num_hedges: int  # hyperedge slots (hypergraph) / edge slots (graph)
+    nnz: int  # incidence entries (hypergraph only)
+
+    @property
+    def max_real_graphs(self) -> int:
+        return self.num_graphs - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def spec_for_samples(
+    samples: Sequence[HyperGraphSample | GraphSample],
+    batch_size: int,
+    atom_multiple: int = 8,
+    headroom: float = 1.05,
+) -> BatchSpec:
+    """Derive a safe static spec from dataset statistics.
+
+    Capacities are sized so that `batch_size` average molecules fit with
+    `headroom`, but never below `batch_size` * max-single-molecule for atoms
+    (a single molecule must always fit).
+    """
+    n_atoms = np.array([s.n_atoms for s in samples])
+    if hasattr(samples[0], "nnz"):
+        n_edge = np.array([s.n_hedges for s in samples])
+        nnz = np.array([s.nnz for s in samples])
+    else:
+        n_edge = np.array([s.n_edges for s in samples])
+        nnz = n_edge
+    mean_atoms = float(n_atoms.mean())
+    cap = lambda arr, mean: _round_up(
+        max(int(batch_size * mean * headroom), int(arr.max()) + 1), atom_multiple
+    )
+    return BatchSpec(
+        num_graphs=batch_size + 1,
+        num_atoms=cap(n_atoms, mean_atoms),
+        num_hedges=cap(n_edge, float(n_edge.mean())),
+        nnz=cap(nnz, float(nnz.mean())),
+    )
+
+
+def pad_hypergraph_batch(
+    samples: Sequence[HyperGraphSample],
+    spec: BatchSpec,
+    target: int | None = None,
+    with_pos: bool = False,
+) -> HyperGraphBatch:
+    """Pack molecules into one padded `HyperGraphBatch` (host-side numpy).
+
+    `target` selects a single column of `y` (the `OneTarget` transform,
+    `reference equihgnn/data/utils.py:181-189`); pass None if `y` is already
+    scalar per molecule.
+    """
+    assert len(samples) <= spec.max_real_graphs, (
+        f"{len(samples)} molecules > spec capacity {spec.max_real_graphs}"
+    )
+    G, N, E, Z = spec.num_graphs, spec.num_atoms, spec.num_hedges, spec.nnz
+    pad_gid = G - 1
+
+    atom_feat = np.zeros((N, NUM_ATOM_FEATURES), dtype=np.int32)
+    atom_mask = np.zeros((N,), dtype=bool)
+    atom_graph_id = np.full((N,), pad_gid, dtype=np.int32)
+    vertex_idx = np.full((Z,), N - 1, dtype=np.int32)
+    hedge_idx = np.full((Z,), E - 1, dtype=np.int32)
+    inc_mask = np.zeros((Z,), dtype=bool)
+    hedge_feat = np.zeros((E,), dtype=np.int32)
+    hedge_mask = np.zeros((E,), dtype=bool)
+    hedge_graph_id = np.full((E,), pad_gid, dtype=np.int32)
+    e_order = np.zeros((E,), dtype=np.int32)
+    y = np.zeros((G,), dtype=np.float32)
+    graph_mask = np.zeros((G,), dtype=bool)
+    pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None
+    z = np.zeros((N,), dtype=np.int32) if with_pos else None
+
+    a0 = e0 = z0 = 0
+    for g, s in enumerate(samples):
+        na, ne, nz = s.n_atoms, s.n_hedges, s.nnz
+        if a0 + na > N or e0 + ne > E or z0 + nz > Z:
+            raise ValueError(
+                f"Batch overflows spec {spec}: graph {g} needs "
+                f"(+{na} atoms, +{ne} hedges, +{nz} nnz) at offsets ({a0},{e0},{z0})"
+            )
+        atom_feat[a0 : a0 + na] = s.atom_feat
+        atom_mask[a0 : a0 + na] = True
+        atom_graph_id[a0 : a0 + na] = g
+        vertex_idx[z0 : z0 + nz] = s.vertex_idx + a0
+        hedge_idx[z0 : z0 + nz] = s.hedge_idx + e0
+        inc_mask[z0 : z0 + nz] = True
+        hedge_feat[e0 : e0 + ne] = s.hedge_feat
+        hedge_mask[e0 : e0 + ne] = True
+        hedge_graph_id[e0 : e0 + ne] = g
+        e_order[e0 : e0 + ne] = s.e_order()
+        yv = s.y if target is None else np.asarray(s.y).reshape(-1)[target]
+        y[g] = np.float32(yv)
+        graph_mask[g] = True
+        if with_pos:
+            if s.pos is None:
+                raise ValueError("with_pos=True but sample has no coordinates")
+            pos[a0 : a0 + na] = s.pos
+            if s.z is not None:
+                z[a0 : a0 + na] = s.z
+        a0, e0, z0 = a0 + na, e0 + ne, z0 + nz
+
+    return HyperGraphBatch(
+        atom_feat=atom_feat,
+        atom_mask=atom_mask,
+        atom_graph_id=atom_graph_id,
+        vertex_idx=vertex_idx,
+        hedge_idx=hedge_idx,
+        inc_mask=inc_mask,
+        hedge_feat=hedge_feat,
+        hedge_mask=hedge_mask,
+        hedge_graph_id=hedge_graph_id,
+        e_order=e_order,
+        y=y,
+        graph_mask=graph_mask,
+        pos=pos,
+        z=z,
+    )
+
+
+def pad_graph_batch(
+    samples: Sequence[GraphSample],
+    spec: BatchSpec,
+    target: int | None = None,
+    with_pos: bool = False,
+) -> GraphBatch:
+    """Pack plain molecular graphs into one padded `GraphBatch`."""
+    assert len(samples) <= spec.max_real_graphs
+    G, N, M = spec.num_graphs, spec.num_atoms, spec.num_hedges
+    pad_gid = G - 1
+
+    atom_feat = np.zeros((N, NUM_ATOM_FEATURES), dtype=np.int32)
+    atom_mask = np.zeros((N,), dtype=bool)
+    atom_graph_id = np.full((N,), pad_gid, dtype=np.int32)
+    edge_src = np.full((M,), N - 1, dtype=np.int32)
+    edge_dst = np.full((M,), N - 1, dtype=np.int32)
+    edge_mask = np.zeros((M,), dtype=bool)
+    edge_feat = np.zeros((M, NUM_BOND_FEATURES), dtype=np.int32)
+    y = np.zeros((G,), dtype=np.float32)
+    graph_mask = np.zeros((G,), dtype=bool)
+    pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None
+    z = np.zeros((N,), dtype=np.int32) if with_pos else None
+
+    a0 = m0 = 0
+    for g, s in enumerate(samples):
+        na, nm = s.n_atoms, s.n_edges
+        if a0 + na > N or m0 + nm > M:
+            raise ValueError(f"Batch overflows spec {spec} at graph {g}")
+        atom_feat[a0 : a0 + na] = s.atom_feat
+        atom_mask[a0 : a0 + na] = True
+        atom_graph_id[a0 : a0 + na] = g
+        edge_src[m0 : m0 + nm] = s.edge_src + a0
+        edge_dst[m0 : m0 + nm] = s.edge_dst + a0
+        edge_mask[m0 : m0 + nm] = True
+        edge_feat[m0 : m0 + nm] = s.edge_feat
+        yv = s.y if target is None else np.asarray(s.y).reshape(-1)[target]
+        y[g] = np.float32(yv)
+        graph_mask[g] = True
+        if with_pos:
+            if s.pos is None:
+                raise ValueError("with_pos=True but sample has no coordinates")
+            pos[a0 : a0 + na] = s.pos
+            if s.z is not None:
+                z[a0 : a0 + na] = s.z
+        a0, m0 = a0 + na, m0 + nm
+
+    return GraphBatch(
+        atom_feat=atom_feat,
+        atom_mask=atom_mask,
+        atom_graph_id=atom_graph_id,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_mask=edge_mask,
+        edge_feat=edge_feat,
+        y=y,
+        graph_mask=graph_mask,
+        pos=pos,
+        z=z,
+    )
+
+
+def iter_batches(
+    samples: Sequence,
+    spec: BatchSpec,
+    *,
+    hyper: bool = True,
+    target: int | None = None,
+    with_pos: bool = False,
+    shuffle: bool = False,
+    rng: np.random.Generator | None = None,
+    drop_last: bool = False,
+) -> Iterator:
+    """Greedy packer: fill each batch until a capacity would overflow.
+
+    Replaces the PyG DataLoader (`reference main.py:227-229`). With shuffle,
+    order is re-drawn each epoch from `rng`.
+    """
+    order = np.arange(len(samples))
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    pad = pad_hypergraph_batch if hyper else pad_graph_batch
+
+    cur: list = []
+    a = e = z = 0
+    for i in order:
+        s = samples[int(i)]
+        if hyper:
+            na, ne, nz = s.n_atoms, s.n_hedges, s.nnz
+        else:
+            na, ne, nz = s.n_atoms, s.n_edges, s.n_edges
+        over = (
+            len(cur) >= spec.max_real_graphs
+            or a + na > spec.num_atoms
+            or e + ne > spec.num_hedges
+            or (hyper and z + nz > spec.nnz)
+        )
+        if over and cur:
+            yield pad(cur, spec, target=target, with_pos=with_pos)
+            cur, a, e, z = [], 0, 0, 0
+        cur.append(s)
+        a, e, z = a + na, e + ne, z + nz
+    if cur and not drop_last:
+        yield pad(cur, spec, target=target, with_pos=with_pos)

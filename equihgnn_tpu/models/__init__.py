@@ -1,0 +1,13 @@
+"""Model registry — importing this package registers every model name.
+
+Registered names mirror `reference equihgnn/models/__init__.py:1-29`.
+"""
+
+from equihgnn_tpu.models.config import ModelConfig  # noqa: F401
+from equihgnn_tpu.models.mhnn import MHNN, MHNNS, MHNNM  # noqa: F401
+from equihgnn_tpu.models.baseline_2d import GNN2D  # noqa: F401
+from equihgnn_tpu.models.equihnn_egnn import (  # noqa: F401
+    EGNNEquiHNN,
+    EGNNEquiHNNS,
+    EGNNEquiHNNM,
+)
