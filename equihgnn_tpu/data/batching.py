@@ -35,6 +35,7 @@ class BatchSpec:
     num_atoms: int
     num_hedges: int  # hyperedge slots (hypergraph) / edge slots (graph)
     nnz: int  # incidence entries (hypergraph only)
+    max_atoms_per_graph: int = 0  # A_max for the dense per-molecule view
 
     @property
     def max_real_graphs(self) -> int:
@@ -73,6 +74,7 @@ def spec_for_samples(
         num_atoms=cap(n_atoms, mean_atoms),
         num_hedges=cap(n_edge, float(n_edge.mean())),
         nnz=cap(nnz, float(nnz.mean())),
+        max_atoms_per_graph=_round_up(int(n_atoms.max()), atom_multiple),
     )
 
 
@@ -108,6 +110,10 @@ def pad_hypergraph_batch(
     graph_mask = np.zeros((G,), dtype=bool)
     pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None
     z = np.zeros((N,), dtype=np.int32) if with_pos else None
+    A = spec.max_atoms_per_graph
+    slot_index = np.zeros((G, A), dtype=np.int32) if A else None
+    slot_mask = np.zeros((G, A), dtype=bool) if A else None
+    atom_slot = np.zeros((N,), dtype=np.int32) if A else None
 
     a0 = e0 = z0 = 0
     for g, s in enumerate(samples):
@@ -120,6 +126,12 @@ def pad_hypergraph_batch(
         atom_feat[a0 : a0 + na] = s.atom_feat
         atom_mask[a0 : a0 + na] = True
         atom_graph_id[a0 : a0 + na] = g
+        if A:
+            if na > A:
+                raise ValueError(f"Molecule with {na} atoms exceeds A_max={A}")
+            slot_index[g, :na] = np.arange(a0, a0 + na)
+            slot_mask[g, :na] = True
+            atom_slot[a0 : a0 + na] = np.arange(na)
         vertex_idx[z0 : z0 + nz] = s.vertex_idx + a0
         hedge_idx[z0 : z0 + nz] = s.hedge_idx + e0
         inc_mask[z0 : z0 + nz] = True
@@ -153,6 +165,9 @@ def pad_hypergraph_batch(
         graph_mask=graph_mask,
         pos=pos,
         z=z,
+        slot_index=slot_index,
+        slot_mask=slot_mask,
+        atom_slot=atom_slot,
     )
 
 
@@ -161,11 +176,18 @@ def pad_graph_batch(
     spec: BatchSpec,
     target: int | None = None,
     with_pos: bool = False,
+    edge_feat_width: int | None = None,
 ) -> GraphBatch:
     """Pack plain molecular graphs into one padded `GraphBatch`."""
     assert len(samples) <= spec.max_real_graphs
     G, N, M = spec.num_graphs, spec.num_atoms, spec.num_hedges
     pad_gid = G - 1
+    # QM9 graph variants store a 1-dim bond-type feature, mol2graph stores 3
+    # (`reference equihgnn/data/qm9.py:309-319` vs `data/utils.py:205-218`)
+    ef_width = edge_feat_width or (
+        samples[0].edge_feat.shape[1] if samples and samples[0].edge_feat.size
+        else NUM_BOND_FEATURES
+    )
 
     atom_feat = np.zeros((N, NUM_ATOM_FEATURES), dtype=np.int32)
     atom_mask = np.zeros((N,), dtype=bool)
@@ -173,7 +195,7 @@ def pad_graph_batch(
     edge_src = np.full((M,), N - 1, dtype=np.int32)
     edge_dst = np.full((M,), N - 1, dtype=np.int32)
     edge_mask = np.zeros((M,), dtype=bool)
-    edge_feat = np.zeros((M, NUM_BOND_FEATURES), dtype=np.int32)
+    edge_feat = np.zeros((M, ef_width), dtype=np.int32)
     y = np.zeros((G,), dtype=np.float32)
     graph_mask = np.zeros((G,), dtype=bool)
     pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None

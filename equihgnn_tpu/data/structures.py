@@ -105,6 +105,14 @@ class HyperGraphBatch:
     graph_mask: jnp.ndarray  # [num_graphs] bool
     pos: jnp.ndarray | None = None  # [N_pad, 3] float32
     z: jnp.ndarray | None = None  # [N_pad] int32
+    # Dense per-molecule view for geometric encoders: instead of the
+    # reference's O(N²) whole-batch pairwise tensors (SURVEY §2.7), kNN and
+    # attention run on [G, A_max] molecule-major layouts — O(G·A²) memory and
+    # MXU-batchable. `slot_index[g, a]` is the flat atom row of molecule g's
+    # a-th atom; `atom_slot[i]` is atom i's slot within its molecule.
+    slot_index: jnp.ndarray | None = None  # [num_graphs, A_max] int32
+    slot_mask: jnp.ndarray | None = None  # [num_graphs, A_max] bool
+    atom_slot: jnp.ndarray | None = None  # [N_pad] int32
 
     @property
     def num_atoms(self) -> int:

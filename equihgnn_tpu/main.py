@@ -1,0 +1,188 @@
+"""Training CLI — mirrors `reference main.py:154-298` flag-for-flag.
+
+Usage:
+    python -m equihgnn_tpu.main --method mhnns --data synthetic_hg --epochs 3
+
+Parity notes (documented decisions, SURVEY §2.1):
+  * `--clip_gnorm` is parsed but a no-op in the reference (never passed to the
+    Trainer); here it actually clips when set — pass nothing to replicate.
+  * `--min_lr` is unused in the reference (plateau floor is lr*1e-5); same here
+    unless `--use_min_lr` is given.
+  * `--device` is accepted and ignored (Lightning used devices="auto"); the
+    TPU build uses all visible devices when `--data_parallel` is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from equihgnn_tpu import create_model
+from equihgnn_tpu.common.registry import registry
+from equihgnn_tpu.data.batching import (
+    iter_batches,
+    pad_graph_batch,
+    pad_hypergraph_batch,
+    spec_for_samples,
+)
+from equihgnn_tpu.data.splits import create_train_val_test_set_and_normalize
+from equihgnn_tpu.models.config import ModelConfig
+from equihgnn_tpu.train.trainer import TrainConfig, Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Training with MHNN (TPU-native)")
+    # Dataset arguments (reference main.py:162-164)
+    p.add_argument("--data_dir", type=str, default="datasets/opv3d")
+    p.add_argument("--target", type=int, default=0, help="target of dataset")
+    p.add_argument("--data", default="opv_hg", help="data type")
+    # Training hyperparameters (reference main.py:167-175)
+    p.add_argument("--runs", default=1, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--device", type=int, default=0)  # accepted, ignored
+    p.add_argument("--epochs", default=300, type=int)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", default=0.0001, type=float)
+    p.add_argument("--min_lr", default=0.000001, type=float)
+    p.add_argument("--use_min_lr", action="store_true")
+    p.add_argument("--wd", default=0.0, type=float)
+    p.add_argument("--clip_gnorm", default=None, type=float)
+    # Model hyperparameters (reference main.py:178-203)
+    p.add_argument("--method", default="mhnns", help="model type")
+    p.add_argument("--All_num_layers", default=3, type=int)
+    p.add_argument("--MLP1_num_layers", default=2, type=int)
+    p.add_argument("--MLP2_num_layers", default=2, type=int)
+    p.add_argument("--MLP3_num_layers", default=2, type=int)
+    p.add_argument("--MLP4_num_layers", default=2, type=int)
+    p.add_argument("--MLP_hidden", default=64, type=int)
+    p.add_argument("--output_num_layers", default=2, type=int)
+    p.add_argument("--output_hidden", default=64, type=int)
+    p.add_argument("--aggregate", default="mean", choices=["sum", "mean"])
+    p.add_argument("--normalization", default="ln", choices=["bn", "ln", "None"])
+    p.add_argument("--activation", default="relu", choices=["Id", "relu", "prelu"])
+    p.add_argument("--dropout", default=0.0, type=float)
+    # Debugging (reference main.py:206-208) + TPU extensions
+    p.add_argument("--debug", action="store_true", help="one train/val step only")
+    p.add_argument("--data_parallel", action="store_true")
+    p.add_argument("--num_devices", default=None, type=int)
+    p.add_argument("--synthetic_size", default=None, type=int)
+    return p
+
+
+GRAPH_METHODS = ("gin", "gcn", "gat", "gatv2")
+
+
+def run(args) -> dict:
+    import equihgnn_tpu.data.datasets  # noqa: F401
+    import equihgnn_tpu.models  # noqa: F401
+
+    data_kwargs = {}
+    if args.data.startswith("synthetic") and args.synthetic_size:
+        data_kwargs["size"] = args.synthetic_size
+
+    train_s, valid_s, test_s, std = create_train_val_test_set_and_normalize(
+        target=args.target,
+        data_name=args.data,
+        data_dir=args.data_dir,
+        **data_kwargs,
+    )
+    data_cls = registry.get_data_class(args.data)
+    hyper = data_cls.hyper
+    with_pos = data_cls.has_pos
+
+    all_samples = train_s + valid_s + test_s
+    spec = spec_for_samples(all_samples, batch_size=args.batch_size)
+    if hyper:
+        pad = pad_hypergraph_batch
+        make_empty = lambda: pad([], spec, target=None, with_pos=with_pos)
+    else:
+        ef_width = all_samples[0].edge_feat.shape[1]
+        pad = lambda s, sp, **kw: pad_graph_batch(
+            s, sp, edge_feat_width=ef_width, **kw
+        )
+        make_empty = lambda: pad([], spec, target=None, with_pos=with_pos)
+
+    def loader(samples, shuffle, epoch=0):
+        return iter_batches(
+            samples,
+            spec,
+            hyper=hyper,
+            target=None,  # y already normalized + selected below
+            with_pos=with_pos,
+            shuffle=shuffle,
+            rng=np.random.default_rng(args.seed * 100003 + epoch),
+        )
+
+    # select target column once, host-side
+    for s in all_samples:
+        s.y = np.asarray(s.y, dtype=np.float32).reshape(-1)[args.target]
+
+    results = []
+    for run_idx in range(args.runs):
+        seed = args.seed + run_idx
+        print(f"\nRun No. {run_idx + 1}:\nSeed: {seed}\n")
+        exp = f"{args.data}_{args.target}_{args.method}"
+        version = 0
+        while os.path.exists(os.path.join("logs", exp, f"version_{version}")):
+            version += 1
+        log_dir = os.path.join("logs", exp, f"version_{version}")
+
+        import dataclasses
+
+        cfg = ModelConfig.from_args(args)
+        if args.data_parallel:
+            cfg = dataclasses.replace(cfg, axis_name="data")
+        if args.method in GRAPH_METHODS:
+            model = create_model(
+                args.method, num_target=1, cfg=cfg, gnn_type=args.method
+            )
+        else:
+            model = create_model(args.method, num_target=1, cfg=cfg)
+
+        tcfg = TrainConfig(
+            epochs=args.epochs,
+            lr=args.lr,
+            weight_decay=args.wd,
+            clip_gnorm=args.clip_gnorm,
+            seed=seed,
+            min_lr=args.min_lr if args.use_min_lr else None,
+            log_dir=log_dir,
+            data_parallel=args.data_parallel,
+            num_devices=args.num_devices,
+            debug=args.debug,
+        )
+        example = next(iter(loader(train_s, False)))
+        trainer = Trainer(model, tcfg, example, std=std)
+        best = trainer.fit(
+            lambda epoch: loader(train_s, True, epoch),
+            lambda: loader(valid_s, False),
+            make_empty=make_empty,
+        )
+        metrics = trainer.test(
+            lambda: loader(test_s, False),
+            restore_best=not args.debug,
+            make_empty=make_empty,
+        )
+        print(json.dumps({**best, **metrics}, indent=2))
+        results.append({**best, **metrics})
+    return results[-1]
+
+
+def main():
+    print("Task start time:")
+    print(time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()))
+    start = time.time()
+    args = build_parser().parse_args()
+    print(args)
+    run(args)
+    print("Task end time:")
+    print(time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()))
+    print("Total time taken: {} s.".format(int(time.time() - start)))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,9 @@ class _EGNNBase(nn.Module):
             batch.pos,
             mask=batch.atom_mask,
             graph_id=batch.atom_graph_id,
+            slot_index=batch.slot_index,
+            slot_mask=batch.slot_mask,
+            atom_slot=batch.atom_slot,
             deterministic=deterministic,
         )
         return x

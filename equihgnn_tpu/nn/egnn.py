@@ -83,32 +83,11 @@ class EGNN(nn.Module):
     m_pool_method: str = "sum"
     cross_molecule: bool = False
 
-    @nn.compact
-    def __call__(
-        self,
-        feats,  # [N, d]
-        coors,  # [N, 3]
-        mask=None,  # [N] bool
-        graph_id=None,  # [N] int32 — per-molecule neighborhoods
-        deterministic: bool = True,
-    ):
-        d, k = self.dim, self.num_nearest_neighbors
-        n = feats.shape[-2]
-        gid = None if self.cross_molecule else graph_id
-        nbr_idx, nbr_mask, _ = knn_graph(
-            coors,
-            k,
-            mask=mask,
-            graph_id=gid,
-            valid_radius=self.valid_radius,
-            squared_radius=True,  # reference quirk
-            exclude_self=False,
-        )
-        rel_coors = coors[:, None, :] - coors[nbr_idx]  # [N, k, 3]
-        rel_dist = jnp.sum(rel_coors * rel_coors, axis=-1, keepdims=True)
-
-        feats_j = feats[nbr_idx]  # [N, k, d]
-        feats_i = jnp.broadcast_to(feats[:, None, :], feats_j.shape)
+    def _message_pass(self, feats, coors, rel_coors, rel_dist, feats_j, pair_mask,
+                      deterministic):
+        """Shared EGNN core over [..., k, *] neighbor tensors (flat or dense)."""
+        d = self.dim
+        feats_i = jnp.broadcast_to(feats[..., None, :], feats_j.shape)
         edge_in = jnp.concatenate([feats_i, feats_j, rel_dist], axis=-1)
 
         drop = nn.Dropout(self.dropout)
@@ -117,16 +96,12 @@ class EGNN(nn.Module):
         m_ij = nn.silu(m_ij)
         m_ij = nn.silu(_EGNNLinear(self.m_dim, name="edge_mlp_1")(m_ij))
 
-        pair_mask = nbr_mask
-        if mask is not None:
-            pair_mask = pair_mask & mask[:, None] & mask[nbr_idx]
-
         coors_out = coors
         if self.update_coors:
             w = _EGNNLinear(4 * self.m_dim, name="coors_mlp_0")(m_ij)
             w = drop(w, deterministic=deterministic)
             w = nn.silu(w)
-            w = _EGNNLinear(1, name="coors_mlp_1")(w)[..., 0]  # [N, k]
+            w = _EGNNLinear(1, name="coors_mlp_1")(w)[..., 0]  # [..., k]
             rc = (
                 CoorsNorm(scale_init=self.norm_coors_scale_init, name="coors_norm")(
                     rel_coors
@@ -135,7 +110,7 @@ class EGNN(nn.Module):
                 else rel_coors
             )
             w = jnp.where(pair_mask, w, 0.0)
-            coors_out = jnp.einsum("nk,nkc->nc", w, rc) + coors
+            coors_out = jnp.einsum("...k,...kc->...c", w, rc) + coors
 
         if self.update_feats:
             m_ij = jnp.where(pair_mask[..., None], m_ij, 0.0)
@@ -155,3 +130,69 @@ class EGNN(nn.Module):
             feats = h + feats
 
         return feats, coors_out
+
+    @nn.compact
+    def __call__(
+        self,
+        feats,  # [N, d]
+        coors,  # [N, 3]
+        mask=None,  # [N] bool
+        graph_id=None,  # [N] int32 — per-molecule neighborhoods
+        slot_index=None,  # [G, A] dense per-molecule view (fast path)
+        slot_mask=None,  # [G, A]
+        atom_slot=None,  # [N]
+        deterministic: bool = True,
+    ):
+        k = self.num_nearest_neighbors
+        use_dense = (
+            slot_index is not None
+            and atom_slot is not None
+            and graph_id is not None
+            and not self.cross_molecule
+        )
+        if use_dense:
+            # Molecule-major dense layout: O(G·A²) pairwise work instead of the
+            # reference's whole-batch O(N²) (SURVEY §2.7), batched for the MXU.
+            from equihgnn_tpu.ops.knn import knn_dense
+
+            sm = slot_mask
+            xd = feats[slot_index] * sm[..., None]
+            pd = coors[slot_index] * sm[..., None]
+            nbr_idx, nbr_mask, _ = knn_dense(
+                pd, sm, k,
+                valid_radius=self.valid_radius,
+                squared_radius=True,  # reference quirk: radius vs squared dist
+                exclude_self=False,
+            )
+            garange = jnp.arange(pd.shape[0])[:, None, None]
+            pj = pd[garange, nbr_idx]  # [G, A, k, 3]
+            rel_coors = pd[:, :, None, :] - pj
+            rel_dist = jnp.sum(rel_coors * rel_coors, axis=-1, keepdims=True)
+            feats_j = xd[garange, nbr_idx]
+            new_xd, new_pd = self._message_pass(
+                xd, pd, rel_coors, rel_dist, feats_j, nbr_mask, deterministic
+            )
+            # scatter back to the flat layout (padded rows read slot 0 of the
+            # padding graph → deterministic zeros-derived values)
+            new_feats = new_xd[graph_id, atom_slot]
+            new_coors = new_pd[graph_id, atom_slot]
+            return new_feats, new_coors
+
+        gid = None if self.cross_molecule else graph_id
+        nbr_idx, nbr_mask, _ = knn_graph(
+            coors, k,
+            mask=mask,
+            graph_id=gid,
+            valid_radius=self.valid_radius,
+            squared_radius=True,  # reference quirk
+            exclude_self=False,
+        )
+        rel_coors = coors[:, None, :] - coors[nbr_idx]  # [N, k, 3]
+        rel_dist = jnp.sum(rel_coors * rel_coors, axis=-1, keepdims=True)
+        feats_j = feats[nbr_idx]
+        pair_mask = nbr_mask
+        if mask is not None:
+            pair_mask = pair_mask & mask[:, None] & mask[nbr_idx]
+        return self._message_pass(
+            feats, coors, rel_coors, rel_dist, feats_j, pair_mask, deterministic
+        )

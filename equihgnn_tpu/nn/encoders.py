@@ -57,15 +57,21 @@ class AtomEncoder(nn.Module):
 
 
 class BondEncoder(nn.Module):
-    """3 categorical bond features → summed embedding."""
+    """Categorical bond features → summed embedding.
+
+    Handles both the 3-feature mol2graph layout and the 1-feature (bond type
+    only) layout of the QM9 graph variants — OGB's BondEncoder likewise loops
+    over however many columns it is given.
+    """
 
     emb_dim: int
 
     @nn.compact
     def __call__(self, bond_feat):
-        return _MultiEmbeddingSum(BOND_FEATURE_DIMS, self.emb_dim, name="bond")(
-            bond_feat
-        )
+        width = bond_feat.shape[-1]
+        return _MultiEmbeddingSum(
+            BOND_FEATURE_DIMS[:width], self.emb_dim, name="bond"
+        )(bond_feat)
 
 
 class HedgeEncoder(nn.Module):

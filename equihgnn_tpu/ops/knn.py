@@ -87,3 +87,39 @@ def knn_graph(
 def gather_neighbors(values, nbr_idx):
     """values [N, ...] + nbr_idx [N, k] → [N, k, ...]."""
     return values[nbr_idx]
+
+
+def knn_dense(
+    pos_d,  # [G, A, 3] molecule-major coordinates
+    slot_mask,  # [G, A] bool
+    k: int,
+    valid_radius: float | None = None,
+    squared_radius: bool = False,
+    exclude_self: bool = False,
+):
+    """Per-molecule kNN in the dense [G, A] layout.
+
+    The TPU-first alternative to whole-batch O(N²) ranking: distances are
+    O(G·A²) and every op batches over molecules. Returns slot-indexed
+    neighbors (idx [G, A, k] into the A axis, mask [G, A, k]).
+    """
+    g, a, _ = pos_d.shape
+    k_eff = min(k, a)
+    diff = pos_d[:, :, None, :] - pos_d[:, None, :, :]
+    sq = jnp.sum(diff * diff, axis=-1)  # [G, A, A]
+    invalid = ~(slot_mask[:, :, None] & slot_mask[:, None, :])
+    if exclude_self:
+        invalid |= jnp.eye(a, dtype=bool)[None]
+    ranking = jnp.where(invalid, BIG, sq)
+    neg_rank, nbr_idx = jax.lax.top_k(-ranking, k_eff)
+    nbr_rank = -neg_rank
+    nbr_mask = nbr_rank < BIG / 2
+    if valid_radius is not None:
+        cutoff = valid_radius if squared_radius else valid_radius**2
+        nbr_mask &= nbr_rank <= cutoff
+    if k_eff < k:  # pad neighbor axis to the static k
+        pad = [(0, 0), (0, 0), (0, k - k_eff)]
+        nbr_idx = jnp.pad(nbr_idx, pad)
+        nbr_mask = jnp.pad(nbr_mask, pad)
+        nbr_rank = jnp.pad(nbr_rank, pad, constant_values=BIG)
+    return nbr_idx.astype(jnp.int32), nbr_mask, nbr_rank

@@ -1,0 +1,47 @@
+"""Device-mesh utilities for data-parallel training.
+
+The reference's only parallelism is Lightning DDP over NCCL
+(`reference main.py:274,281`). The TPU-native equivalent: a 1-D
+`jax.sharding.Mesh` over all chips, `shard_map`ped train steps with
+`psum` gradient reduction riding the ICI, and host-side microbatch
+stacking replacing the DistributedSampler.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def get_data_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_microbatches(batches: Sequence):
+    """Stack per-device padded batches into one [ndev, ...] pytree."""
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def group_for_devices(batch_iter, ndev: int, make_empty):
+    """Group a stream of padded batches into [ndev, ...] stacks.
+
+    The tail group is padded with empty (all-padding-graph) batches so every
+    step sees identical shapes; empty batches contribute zero to the masked
+    loss and metrics.
+    """
+    group = []
+    for b in batch_iter:
+        group.append(b)
+        if len(group) == ndev:
+            yield stack_microbatches(group)
+            group = []
+    if group:
+        while len(group) < ndev:
+            group.append(make_empty())
+        yield stack_microbatches(group)

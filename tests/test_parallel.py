@@ -1,0 +1,80 @@
+"""Data parallelism: shard_map training on the 8-device virtual CPU mesh must
+match single-device training numerically (same global batch, same seed)."""
+
+import jax
+import numpy as np
+import pytest
+
+from equihgnn_tpu import create_model
+from equihgnn_tpu.data.batching import (
+    iter_batches,
+    pad_hypergraph_batch,
+    spec_for_samples,
+)
+from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+from equihgnn_tpu.models.config import ModelConfig
+from equihgnn_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _make_data():
+    samples = make_synthetic_dataset(64, seed=0, with_pos=False)
+    for s in samples:
+        s.y = np.float32((s.n_atoms - 16.0) / 8.0)
+    spec = spec_for_samples(samples, batch_size=8)
+    return samples, spec
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device():
+    """8 microbatches × 8 devices in one psum'd step ≡ one global batch of 64
+    on a single device: identical gradients ⇒ identical trajectories."""
+    samples, _ = _make_data()
+    # roomy capacities so greedy packing always fits exactly 8 (resp. 64)
+    # graphs per batch → DP sees exactly one 8-microbatch group per epoch
+    from equihgnn_tpu.data.batching import BatchSpec
+
+    spec = BatchSpec(num_graphs=9, num_atoms=256, num_hedges=296, nnz=640)
+    big_spec = BatchSpec(num_graphs=65, num_atoms=2048, num_hedges=2368, nnz=5120)
+    make_empty = lambda: pad_hypergraph_batch([], spec)
+
+    results = {}
+    for dp in [False, True]:
+        model = create_model(
+            "mhnns", num_target=1,
+            cfg=ModelConfig(mlp_hidden=16, output_hidden=8,
+                            axis_name="data" if dp else None),
+        )
+        cfg = TrainConfig(epochs=2, lr=1e-3, seed=0, data_parallel=dp)
+        use_spec = spec if dp else big_spec
+        example = pad_hypergraph_batch(samples[:8], use_spec)
+        tr = Trainer(model, cfg, example, std=1.0)
+        tr.fit(
+            lambda e: iter_batches(samples, use_spec, shuffle=False),
+            lambda: iter_batches(samples, use_spec),
+            make_empty=make_empty,
+        )
+        results[dp] = [h["val_mae_raw"] for h in tr.history]
+
+    np.testing.assert_allclose(results[False], results[True], rtol=2e-4, atol=2e-5)
+
+
+def test_dp_with_batchnorm_runs():
+    """mhnnm has BatchNorm → cross-replica masked stats must compile+run."""
+    samples, spec = _make_data()
+    make_empty = lambda: pad_hypergraph_batch([], spec)
+    model = create_model(
+        "mhnnm", num_target=1,
+        cfg=ModelConfig(mlp_hidden=16, output_hidden=8, axis_name="data"),
+    )
+    cfg = TrainConfig(epochs=1, lr=1e-3, seed=0, data_parallel=True)
+    example = pad_hypergraph_batch(samples[:8], spec)
+    tr = Trainer(model, cfg, example, std=1.0)
+    tr.fit(
+        lambda e: iter_batches(samples, spec, shuffle=False),
+        lambda: iter_batches(samples, spec),
+        make_empty=make_empty,
+    )
+    assert np.isfinite(tr.history[0]["val_mae_raw"])
