@@ -11,3 +11,13 @@ from equihgnn_tpu.models.equihnn_egnn import (  # noqa: F401
     EGNNEquiHNNS,
     EGNNEquiHNNM,
 )
+from equihgnn_tpu.models.equihnn_visnet import (  # noqa: F401
+    VisNetEquiHNN,
+    VisNetEquiHNNS,
+    VisNetEquiHNNM,
+)
+from equihgnn_tpu.models.equihnn_fa_former import (  # noqa: F401
+    FAFormerEquiHNN,
+    FAFormerEquiHNNS,
+    FAFormerEquiHNNM,
+)

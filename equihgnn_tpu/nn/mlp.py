@@ -36,6 +36,7 @@ class TorchLinear(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None  # overrides the torch default
+    bias_init: Optional[Callable] = None  # overrides the torch default
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -51,11 +52,14 @@ class TorchLinear(nn.Module):
             )
         y = jnp.dot(x, kernel.astype(self.dtype or x.dtype))
         if self.use_bias:
-            bias = self.param(
-                "bias",
-                lambda k, s: _torch_linear_init(k, fan_in, s, jnp.float32),
-                (self.features,),
-            )
+            if self.bias_init is not None:
+                bias = self.param("bias", self.bias_init, (self.features,))
+            else:
+                bias = self.param(
+                    "bias",
+                    lambda k, s: _torch_linear_init(k, fan_in, s, jnp.float32),
+                    (self.features,),
+                )
             y = y + bias.astype(y.dtype)
         return y
 
