@@ -21,3 +21,7 @@ from equihgnn_tpu.models.equihnn_fa_former import (  # noqa: F401
     FAFormerEquiHNNS,
     FAFormerEquiHNNM,
 )
+from equihgnn_tpu.models.equihnn_equiformer import EquiformerEquiHNNS  # noqa: F401
+from equihgnn_tpu.models.equihnn_se3_transformer import (  # noqa: F401
+    SE3TransformerEquiHNNS,
+)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from equihgnn_tpu.ops.knn import knn_graph
+from equihgnn_tpu.ops.numerics import safe_norm
 
 
 def _egnn_linear_init(std: float = 1e-3):
@@ -63,7 +64,7 @@ class CoorsNorm(nn.Module):
         scale = self.param(
             "scale", lambda k: jnp.full((1,), self.scale_init, jnp.float32)
         )
-        norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
+        norm = safe_norm(coors, axis=-1, keepdims=True)
         return coors / jnp.maximum(norm, self.eps) * scale
 
 

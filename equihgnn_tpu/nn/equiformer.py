@@ -1,0 +1,454 @@
+"""Equiformer: SE(3)-equivariant transformer over molecular point clouds (TPU).
+
+Re-design of `reference equihgnn/models/layers/equiformer_layer.py:40-1398`
+(+ `equiformer/basis.py`, provenance lucidrains/equiformer-pytorch v0.5.3).
+Features are fibers {degree: [..., channels, 2·degree+1]}; the network runs in
+the molecule-major dense layout [G, A, ...].
+
+TPU-first architectural decision (documented deviation): the reference's DTP
+rotates every edge to the z-axis with per-edge Wigner-D matrices and applies a
+precomputed sparse basis (`equiformer_layer.py:360-418`, `basis.py:119-163`)
+— a CUDA-oriented trick requiring float64 Euler extraction per edge. Here the
+same family of equivariant maps is computed directly:
+    out[dout] = Σ_din R_ch-mix(‖r‖) · Σ_J  CG^{(din,J,dout)} (x_din ⊗ Y_J(r̂))
+with host-precomputed CG tensors and runtime spherical harmonics — pure
+einsums that XLA maps onto the MXU. Equivariance is exact (see tests).
+
+Replicated reference semantics: fiber Linear/RMS-Norm/sigmoid Gate
+(`:168-257`), Radial MLP [Lin-SiLU-LN]×2-Lin (`:451-479`), project-xi-xj DTP
+with split-channel degree mixing and self-interaction (`:260-448`),
+MLPAttention with leaky-relu logits MLP, per-degree head gates, gated value
+branch (`:743-955`), FeedForward with Gate (`:485-529`), residual trunk
+(`reversible.py:245-257`), exclude-self kNN with radius mask (`:1216-1342`),
+embedding_grad_frac trick (`:1183-1186`).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import sqrt
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops.knn import knn_dense
+from equihgnn_tpu.ops.sh import spherical_harmonics
+from equihgnn_tpu.ops.numerics import safe_norm
+from equihgnn_tpu.ops.so3 import real_clebsch_gordan
+
+Fiber = tuple  # (dim_degree0, dim_degree1, ...)
+
+
+@lru_cache(maxsize=None)
+def _cg(l1: int, l2: int, l3: int) -> np.ndarray:
+    return real_clebsch_gordan(l1, l2, l3).astype(np.float32)
+
+
+def to_order(degree: int) -> int:
+    return 2 * degree + 1
+
+
+def split_num_into_groups(num: int, groups: int):
+    """`equiformer_layer.py:84-96`."""
+    per = (num + groups - 1) // groups
+    rem = num % groups
+    if rem == 0:
+        return (per,) * groups
+    return (per,) * rem + ((per - 1),) * (groups - rem)
+
+
+class FiberLinear(nn.Module):
+    """Per-degree channel mixing (`equiformer_layer.py:168-191`)."""
+
+    fiber_in: Fiber
+    fiber_out: Fiber
+    init_zero: bool = False
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        out = {}
+        for degree, dim_in in enumerate(self.fiber_in):
+            if degree >= len(self.fiber_out):
+                continue
+            dim_out = self.fiber_out[degree]
+            init = (
+                nn.initializers.zeros
+                if self.init_zero
+                else nn.initializers.normal(stddev=1.0 / sqrt(dim_in))
+            )
+            w = self.param(f"w{degree}", init, (dim_in, dim_out))
+            out[degree] = jnp.einsum("...dm,de->...em", x[degree], w)
+        return out
+
+
+class FiberNorm(nn.Module):
+    """RMS-style norm per degree (`equiformer_layer.py:194-225`)."""
+
+    fiber: Fiber
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        out = {}
+        for degree, dim in enumerate(self.fiber):
+            scale = self.param(f"scale{degree}", nn.initializers.ones, (dim, 1))
+            t = x[degree]
+            l2 = safe_norm(t, axis=-1, keepdims=True)
+            rms = safe_norm(l2, axis=-2, keepdims=True) * (dim**-0.5)
+            out[degree] = t / jnp.maximum(rms, self.eps) * scale
+        return out
+
+
+class FiberGate(nn.Module):
+    """silu on type-0, sigmoid gates for higher types (`:228-257`)."""
+
+    fiber: Fiber
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        gate_dims = list(self.fiber[1:])
+        t0 = x[0]
+        gates_flat, t0_rest = (
+            t0[..., : sum(gate_dims), :],
+            t0[..., sum(gate_dims) :, :],
+        )
+        out = {0: nn.silu(t0_rest)}
+        start = 0
+        for degree, gd in enumerate(gate_dims, start=1):
+            g = gates_flat[..., start : start + gd, :]
+            out[degree] = x[degree] * nn.sigmoid(g)
+            start += gd
+        return out
+
+
+class Radial(nn.Module):
+    """Edge-scalar → channel-mixing matrix (`equiformer_layer.py:451-479`)."""
+
+    nc_in: int
+    nc_out: int
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, edge_feat):
+        ln = lambda name: nn.LayerNorm(use_bias=False, name=name)
+        h = TorchLinear(self.hidden, name="lin0")(edge_feat)
+        h = ln("ln0")(nn.silu(h))
+        h = TorchLinear(self.hidden, name="lin1")(h)
+        h = ln("ln1")(nn.silu(h))
+        h = TorchLinear(self.nc_in * self.nc_out, name="lin2")(h)
+        return h.reshape(h.shape[:-1] + (self.nc_out, self.nc_in))
+
+
+class DTP(nn.Module):
+    """Depthwise tensor product over neighbors (`equiformer_layer.py:260-448`),
+    direct CG×SH formulation (see module docstring)."""
+
+    fiber_in: Fiber
+    fiber_out: Fiber
+    self_interaction: bool = True
+    project_xi_xj: bool = True
+    project_out: bool = True
+    pool: bool = True
+    radial_hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(
+        self,
+        inp: dict,  # {degree: [G, A, dim, 2d+1]}
+        nbr_idx,  # [G, A, k]
+        nbr_mask,  # [G, A, k]
+        rel_dist,  # [G, A, k, 1]
+        sh,  # list of [G, A, k, 2J+1] spherical harmonics of edge dirs
+    ) -> dict:
+        g, a, k = nbr_idx.shape
+        gar = jnp.arange(g)[:, None, None]
+        n_in = len(self.fiber_in)
+
+        if self.project_xi_xj:
+            xi = FiberLinear(self.fiber_in, self.fiber_in, name="to_xi")(inp)
+            xj = FiberLinear(self.fiber_in, self.fiber_in, name="to_xj")(inp)
+        else:
+            xi = xj = inp
+
+        outputs = {}
+        for dout, dim_out in enumerate(self.fiber_out):
+            split_out = split_num_into_groups(dim_out, n_in)
+            chunks = []
+            for din, (dim_in, nc_out) in enumerate(zip(self.fiber_in, split_out)):
+                x = xj[din][gar, nbr_idx]  # [G, A, k, dim_in, 2din+1]
+                if self.project_xi_xj:
+                    x = x + xi[din][:, :, None]
+                # Σ_J CG contraction with spherical harmonics
+                t = None
+                for J in range(abs(din - dout), din + dout + 1):
+                    Q = jnp.asarray(_cg(din, J, dout))  # [2din+1, 2J+1, 2dout+1]
+                    term = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
+                    t = term if t is None else t + term
+                R = Radial(
+                    dim_in, nc_out, self.radial_hidden_dim,
+                    name=f"radial_{din}_{dout}",
+                )(rel_dist)  # [G, A, k, nc_out, dim_in]
+                chunks.append(jnp.einsum("...oi,...ic->...oc", R, t))
+            outputs[dout] = jnp.concatenate(chunks, axis=-2)
+
+        if self.project_out:
+            outputs = FiberLinear(self.fiber_out, self.fiber_out, name="to_out")(
+                outputs
+            )
+        self_out = (
+            FiberLinear(self.fiber_in, self.fiber_out, name="self_interact")(inp)
+            if self.self_interaction
+            else None
+        )
+
+        if self.pool:
+            m = nbr_mask[..., None, None].astype(outputs[0].dtype)
+            cnt = jnp.maximum(jnp.sum(m, axis=2), 1.0)
+            outputs = {
+                d: jnp.sum(t * m, axis=2) / cnt for d, t in outputs.items()
+            }
+            if self_out is not None:
+                # residual_fn semantics: add only degrees the self branch has
+                outputs = {
+                    d: outputs[d] + self_out[d] if d in self_out else outputs[d]
+                    for d in outputs
+                }
+            return outputs
+
+        if self_out is not None:
+            # self token becomes neighbor 0 (`equiformer_layer.py:437-448`);
+            # degrees absent from the self branch get a zero self token
+            outputs = {
+                d: jnp.concatenate(
+                    [
+                        (
+                            self_out[d][:, :, None]
+                            if d in self_out
+                            else jnp.zeros_like(outputs[d][:, :, :1])
+                        ),
+                        outputs[d],
+                    ],
+                    axis=2,
+                )
+                for d in outputs
+            }
+        return outputs
+
+
+class FeedForward(nn.Module):
+    """`equiformer_layer.py:485-529`."""
+
+    fiber: Fiber
+    mult: int = 4
+    include_htype_norms: bool = False
+    init_out_zero: bool = True
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        fiber = self.fiber
+        fiber_hidden = tuple(d * self.mult for d in fiber)
+        project_in_fiber = fiber
+        if self.include_htype_norms:
+            project_in_fiber = (sum(fiber),) + fiber[1:]
+        project_in_hidden = (sum(fiber_hidden),) + fiber_hidden[1:]
+
+        out = FiberNorm(fiber, name="prenorm")(x)
+        if self.include_htype_norms:
+            t0 = out[0]
+            htypes = [
+                safe_norm(out[d], axis=-1, keepdims=True)
+                for d in range(1, len(fiber))
+            ]
+            out = {**out, 0: jnp.concatenate([t0, *htypes], axis=-2)}
+        out = FiberLinear(project_in_fiber, project_in_hidden, name="project_in")(out)
+        out = FiberGate(project_in_hidden, name="gate")(out)
+        out = FiberLinear(
+            fiber_hidden, fiber, init_zero=self.init_out_zero, name="project_out"
+        )(out)
+        return out
+
+
+class MLPAttention(nn.Module):
+    """`equiformer_layer.py:743-955` (the model's config: l2_dist_attention=False)."""
+
+    fiber: Fiber
+    dim_head: int = 64
+    heads: int = 8
+    attend_self: bool = True
+    attn_leakyrelu_slope: float = 0.1
+    attn_hidden_dim_mult: int = 4
+    radial_hidden_dim: int = 64
+    init_out_zero: bool = True
+    gate_attn_head_outputs: bool = True
+
+    @nn.compact
+    def __call__(self, features: dict, nbr_idx, nbr_mask, rel_dist, sh) -> dict:
+        nd = len(self.fiber)
+        heads = (self.heads,) * nd
+        dim_head = (self.dim_head,) * nd
+        hidden_fiber = tuple(d * h for d, h in zip(dim_head, heads))
+        value_hidden = hidden_fiber
+        type0_dim = value_hidden[0]
+        htype_dims = sum(value_hidden[1:])
+        value_gate_fiber = (type0_dim + htype_dims,) + value_hidden[1:]
+        attn_hidden_dims = tuple(h * self.attn_hidden_dim_mult for h in heads)
+        intermediate_fiber = (
+            sum(attn_hidden_dims) + type0_dim + htype_dims,
+        ) + value_hidden[1:]
+        scales = tuple(d**-0.5 for d in dim_head)
+
+        features = FiberNorm(self.fiber, name="prenorm")(features)
+
+        intermediate = DTP(
+            self.fiber,
+            intermediate_fiber,
+            pool=False,
+            self_interaction=self.attend_self,
+            radial_hidden_dim=self.radial_hidden_dim,
+            name="to_attn_and_v",
+        )(features, nbr_idx, nbr_mask, rel_dist, sh)
+
+        if self.attend_self:
+            nbr_mask = jnp.pad(
+                nbr_mask, ((0, 0), (0, 0), (1, 0)), constant_values=True
+            )
+
+        t0 = intermediate[0]  # [G, A, k(+1), dim, 1]
+        attn_branches = []
+        start = 0
+        for ahd in attn_hidden_dims:
+            attn_branches.append(t0[..., start : start + ahd, :])
+            start += ahd
+        intermediate = {**intermediate, 0: t0[..., start:, :]}
+
+        gates = [None] * nd
+        if self.gate_attn_head_outputs:
+            gsrc = features[0][..., 0]  # [G, A, dim0]
+            gall = nn.sigmoid(
+                TorchLinear(sum(heads), name="attn_head_gates")(gsrc)
+            )  # [G, A, Σheads]
+            gates, start = [], 0
+            for h in heads:
+                gates.append(gall[..., start : start + h, None, None])
+                start += h
+
+        attentions = []
+        for i, (branch, scale, h) in enumerate(zip(attn_branches, scales, heads)):
+            z = nn.leaky_relu(branch[..., 0], self.attn_leakyrelu_slope)
+            logits = TorchLinear(h, use_bias=False, name=f"to_attn_logits_{i}")(z)
+            logits = logits * scale  # [G, A, k(+1), h]
+            logits = jnp.where(nbr_mask[..., None], logits, -1e9)
+            attentions.append(jax.nn.softmax(logits, axis=-2))
+
+        values = FiberGate(value_gate_fiber, name="values_gate")(intermediate)
+        values = FiberLinear(value_hidden, value_hidden, name="values_lin")(values)
+
+        outputs = {}
+        for degree, (attn, h, dh, gate) in enumerate(
+            zip(attentions, heads, dim_head, gates)
+        ):
+            v = values[degree]  # [G, A, K, h*dh, m]
+            K, m = v.shape[2], v.shape[-1]
+            v = v.reshape(v.shape[:3] + (h, dh, m))
+            out = jnp.einsum("gakh,gakhdm->gahdm", attn, v)
+            if gate is not None:
+                out = out * gate
+            outputs[degree] = out.reshape(out.shape[:2] + (h * dh, m))
+
+        return FiberLinear(
+            hidden_fiber, self.fiber, init_zero=self.init_out_zero, name="to_out"
+        )(outputs)
+
+
+class Equiformer(nn.Module):
+    """Trunk (`equiformer_layer.py:960-1398`), dense per-molecule layout.
+
+    The model wrapper config (`reference equihgnn/models/equihnn_equiformer.py:37-49`):
+    dim=(h,h), heads=1, depth=1, dim_head=48, num_degrees=2, valid_radius=5,
+    num_neighbors=16, MLPAttention, attend_self=True, linear_out=True.
+    """
+
+    dim: Fiber = (64, 64)
+    dim_in: Fiber = (64,)
+    heads: int = 1
+    dim_head: int = 24
+    depth: int = 2
+    valid_radius: float = 1e5
+    num_neighbors: int = 16
+    radial_hidden_dim: int = 64
+    attend_self: bool = True
+    embedding_grad_frac: float = 0.5
+    ff_include_htype_norms: bool = False
+    gate_attn_head_outputs: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        feats,  # [N, dim_in[0]] type-0 features
+        coords,  # [N, 3]
+        graph_id,  # [N]
+        slot_index,  # [G, A]
+        slot_mask,  # [G, A]
+        atom_slot,  # [N]
+    ):
+        num_degrees = len(self.dim)
+        sm = slot_mask
+        g_, a_ = sm.shape
+        gar = jnp.arange(g_)[:, None, None]
+
+        feats = (
+            self.embedding_grad_frac * feats
+            + (1 - self.embedding_grad_frac) * jax.lax.stop_gradient(feats)
+        )
+        fd = feats[slot_index] * sm[..., None]  # [G, A, d]
+        pd = coords[slot_index] * sm[..., None]
+
+        k = min(self.num_neighbors, a_ - 1)
+        nbr_idx, nbr_mask, sqd = knn_dense(
+            pd, sm, k,
+            valid_radius=self.valid_radius, squared_radius=False,
+            exclude_self=True,
+        )
+        rel_pos = pd[:, :, None, :] - pd[gar, nbr_idx]  # i − j (`:1308-1310`)
+        rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]
+        max_j = 2 * (num_degrees - 1)  # highest CG path between max degrees
+        sh = spherical_harmonics(max_j, rel_pos)
+
+        x = {0: fd[..., None]}  # [G, A, d, 1]
+        x = DTP(
+            self.dim_in,
+            self.dim,
+            radial_hidden_dim=self.radial_hidden_dim,
+            name="tp_in",
+        )(x, nbr_idx, nbr_mask, rel_dist, sh)
+
+        for i in range(self.depth):
+            attn = MLPAttention(
+                self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                attend_self=self.attend_self,
+                radial_hidden_dim=self.radial_hidden_dim,
+                gate_attn_head_outputs=self.gate_attn_head_outputs,
+                name=f"attn_{i}",
+            )(x, nbr_idx, nbr_mask, rel_dist, sh)
+            x = {d: x[d] + attn[d] for d in x}
+            ff = FeedForward(
+                self.dim,
+                include_htype_norms=self.ff_include_htype_norms,
+                name=f"ff_{i}",
+            )(x)
+            x = {d: x[d] + ff[d] for d in x}
+
+        x = FiberNorm(self.dim, name="norm")(x)
+
+        type0 = x[0][..., 0]  # [G, A, dim0]
+        type1 = x.get(1, None)
+        # scatter back to flat layout
+        type0_flat = type0[graph_id, atom_slot]
+        type1_flat = None if type1 is None else type1[graph_id, atom_slot]
+        return type0_flat, type1_flat

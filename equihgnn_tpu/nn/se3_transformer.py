@@ -1,0 +1,316 @@
+"""SE(3)-Transformer: TFN-convolution attention over molecular point clouds.
+
+Re-design of `reference equihgnn/models/layers/se3_transformer_layer.py:42-1693`
+(+ `se3_transformer/basis.py`, provenance lucidrains/se3-transformer-pytorch).
+Features are fibers {degree: [..., channels, 2·degree+1]} in the molecule-major
+dense layout.
+
+TPU-first decision (documented deviation): the reference computes the
+equivariant kernel per forward from spherical harmonics × disk-cached Q_J
+matrices with chunked accumulation to bound GPU memory
+(`se3_transformer_layer.py:238-308`, `basis.py:193-252`). Here the TFN kernel
+is a direct contraction
+    K(r)[o·mo, i·mi] = Σ_J R_J(‖r‖)[o,i] · Σ_mJ CG^{(din,J,dout)}[mi,mJ,mo] Y_J(r̂)[mJ]
+with host-precomputed CG tensors and runtime SH — no chunking needed; XLA
+fuses the einsums and the O(G·A·k) tensors are small in the dense layout.
+
+Replicated semantics: per-degree LinearSE3 (`:104-119`), norm-gated NormSE3
+nonlinearity with GELU (`:122-184`), ConvSE3 with per-frequency RadialFunc
+[Lin-LN-GELU]×2-Lin(mid 128) and masked-mean pooling + self-interaction
+residual (`:187-377`), AttentionSE3 with ConvSE3 keys/values, LinearSE3
+queries and self-attend keys/values joined on the neighbor axis (`:415-608`),
+pre-norm residual attention + FFN blocks (`:380-409,791-845`), exclude-self
+kNN with radius mask, type-0 output (output_degrees=1 → return_type 0).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops.knn import knn_dense
+from equihgnn_tpu.ops.sh import spherical_harmonics
+from equihgnn_tpu.ops.numerics import safe_norm
+from equihgnn_tpu.ops.so3 import real_clebsch_gordan
+
+Fiber = tuple
+
+
+@lru_cache(maxsize=None)
+def _cg(l1: int, l2: int, l3: int) -> np.ndarray:
+    return real_clebsch_gordan(l1, l2, l3).astype(np.float32)
+
+
+class LinearSE3(nn.Module):
+    """`se3_transformer_layer.py:104-119`."""
+
+    fiber_in: Fiber
+    fiber_out: Fiber
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        out = {}
+        for degree, dim_in in enumerate(self.fiber_in):
+            if degree >= len(self.fiber_out):
+                continue
+            dim_out = self.fiber_out[degree]
+            w = self.param(
+                f"w{degree}",
+                nn.initializers.normal(stddev=1.0 / sqrt(dim_in)),
+                (dim_in, dim_out),
+            )
+            out[degree] = jnp.einsum("...dm,de->...em", x[degree], w)
+        return out
+
+
+class NormSE3(nn.Module):
+    """Norm-gated nonlinearity (`se3_transformer_layer.py:122-184`)."""
+
+    fiber: Fiber
+    eps: float = 1e-12
+    use_gelu: bool = True
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        out = {}
+        for degree, chan in enumerate(self.fiber):
+            t = x[degree]
+            norm = jnp.maximum(
+                safe_norm(t, axis=-1, keepdims=True), self.eps
+            )
+            phase = t / norm
+            scale = self.param(f"scale{degree}", nn.initializers.ones, (chan,))
+            transformed = norm[..., 0] * scale
+            if self.use_gelu:
+                transformed = nn.gelu(transformed)
+            out[degree] = transformed[..., None] * phase
+        return out
+
+
+class RadialFunc(nn.Module):
+    """Per-frequency radial profile (`se3_transformer_layer.py:311-336`)."""
+
+    num_freq: int
+    nc_in: int
+    nc_out: int
+    mid_dim: int = 128
+
+    @nn.compact
+    def __call__(self, rel_dist):
+        h = TorchLinear(self.mid_dim, name="lin0")(rel_dist)
+        h = nn.gelu(nn.LayerNorm(name="ln0")(h))
+        h = TorchLinear(self.mid_dim, name="lin1")(h)
+        h = nn.gelu(nn.LayerNorm(name="ln1")(h))
+        h = TorchLinear(self.num_freq * self.nc_in * self.nc_out, name="lin2")(h)
+        return h.reshape(h.shape[:-1] + (self.nc_out, self.nc_in, self.num_freq))
+
+
+class ConvSE3(nn.Module):
+    """TFN convolution (`se3_transformer_layer.py:187-308`), direct CG×SH."""
+
+    fiber_in: Fiber
+    fiber_out: Fiber
+    self_interaction: bool = True
+    pool: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        inp: dict,  # {degree: [G, A, dim, 2d+1]}
+        nbr_idx,
+        nbr_mask,
+        rel_dist,  # [G, A, k, 1]
+        sh,  # list of [G, A, k, 2J+1]
+    ) -> dict:
+        g, a, k = nbr_idx.shape
+        gar = jnp.arange(g)[:, None, None]
+
+        outputs = {}
+        for dout, nc_out in enumerate(self.fiber_out):
+            acc = None
+            for din, nc_in in enumerate(self.fiber_in):
+                x = inp[din][gar, nbr_idx]  # [G, A, k, nc_in, 2din+1]
+                js = list(range(abs(din - dout), din + dout + 1))
+                R = RadialFunc(
+                    len(js), nc_in, nc_out, name=f"radial_{din}_{dout}"
+                )(rel_dist)  # [G, A, k, nc_out, nc_in, nJ]
+                term = None
+                for jidx, J in enumerate(js):
+                    Q = jnp.asarray(_cg(din, J, dout))
+                    tj = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
+                    rj = R[..., jidx]  # [G, A, k, nc_out, nc_in]
+                    contrib = jnp.einsum("...oi,...ic->...oc", rj, tj)
+                    term = contrib if term is None else term + contrib
+                acc = term if acc is None else acc + term
+            outputs[dout] = acc  # [G, A, k, nc_out, 2dout+1]
+
+        if self.pool:
+            m = nbr_mask[..., None, None].astype(outputs[0].dtype)
+            cnt = jnp.maximum(jnp.sum(m, axis=2), 1.0)
+            outputs = {d: jnp.sum(t * m, axis=2) / cnt for d, t in outputs.items()}
+            if self.self_interaction:
+                si = LinearSE3(self.fiber_in, self.fiber_out, name="self_interact")(
+                    inp
+                )
+                outputs = {
+                    d: outputs[d] + si[d] if d in si else outputs[d]
+                    for d in outputs
+                }
+        return outputs
+
+
+class FeedForwardSE3(nn.Module):
+    """`se3_transformer_layer.py:380-394`."""
+
+    fiber: Fiber
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: dict) -> dict:
+        hidden = tuple(d * self.mult for d in self.fiber)
+        out = LinearSE3(self.fiber, hidden, name="project_in")(x)
+        out = NormSE3(hidden, name="nonlin")(out)
+        out = LinearSE3(hidden, self.fiber, name="project_out")(out)
+        return out
+
+
+class AttentionSE3(nn.Module):
+    """`se3_transformer_layer.py:415-608` (heads, ConvSE3 keys+values)."""
+
+    fiber: Fiber
+    dim_head: int = 24
+    heads: int = 8
+    attend_self: bool = True
+
+    @nn.compact
+    def __call__(self, features: dict, nbr_idx, nbr_mask, rel_dist, sh) -> dict:
+        h, dh = self.heads, self.dim_head
+        hidden = dh * h
+        hidden_fiber = (hidden,) * len(self.fiber)
+        scale = dh**-0.5
+
+        queries = LinearSE3(self.fiber, hidden_fiber, name="to_q")(features)
+        values = ConvSE3(
+            self.fiber, hidden_fiber, pool=False, self_interaction=False,
+            name="to_v",
+        )(features, nbr_idx, nbr_mask, rel_dist, sh)
+        keys = ConvSE3(
+            self.fiber, hidden_fiber, pool=False, self_interaction=False,
+            name="to_k",
+        )(features, nbr_idx, nbr_mask, rel_dist, sh)
+
+        if self.attend_self:
+            self_k = LinearSE3(self.fiber, hidden_fiber, name="to_self_k")(features)
+            self_v = LinearSE3(self.fiber, hidden_fiber, name="to_self_v")(features)
+            keys = {
+                d: jnp.concatenate([self_k[d][:, :, None], keys[d]], axis=2)
+                for d in keys
+            }
+            values = {
+                d: jnp.concatenate([self_v[d][:, :, None], values[d]], axis=2)
+                for d in values
+            }
+            nbr_mask = jnp.pad(
+                nbr_mask, ((0, 0), (0, 0), (1, 0)), constant_values=True
+            )
+
+        outputs = {}
+        for degree in features:
+            q = queries[degree]  # [G, A, h*dh, m]
+            kk, vv = keys[degree], values[degree]  # [G, A, K, h*dh, m]
+            m = q.shape[-1]
+            ga = q.shape[:2]
+            q = q.reshape(ga + (h, dh, m))
+            K = kk.shape[2]
+            kk = kk.reshape(ga + (K, h, dh, m))
+            vv = vv.reshape(ga + (K, h, dh, m))
+            sim = jnp.einsum("gahdm,gakhdm->gahk", q, kk) * scale
+            sim = jnp.where(nbr_mask[:, :, None, :], sim, -1e9)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("gahk,gakhdm->gahdm", attn, vv)
+            outputs[degree] = out.reshape(ga + (h * dh, m))
+
+        return LinearSE3(hidden_fiber, self.fiber, name="to_out")(outputs)
+
+
+class SE3Transformer(nn.Module):
+    """Trunk (`se3_transformer_layer.py:1117-1693`), dense layout.
+
+    Model config (`reference equihgnn/models/equihnn_se3_transformer.py:37-45`):
+    dim=hidden, heads=2, depth=2, dim_head=32, num_degrees=2, valid_radius=5,
+    num_neighbors=16 → fiber_hidden=(h,h), fiber_out=(h,), returns type-0.
+    """
+
+    dim: int = 64
+    heads: int = 2
+    depth: int = 2
+    dim_head: int = 32
+    num_degrees: int = 2
+    valid_radius: float = 1e5
+    num_neighbors: int = 16
+    attend_self: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        feats,  # [N, dim] type-0
+        coords,  # [N, 3]
+        graph_id,
+        slot_index,
+        slot_mask,
+        atom_slot,
+    ):
+        fiber_in = (self.dim,)
+        fiber_hidden = (self.dim,) * self.num_degrees
+        fiber_out = (self.dim,)
+        sm = slot_mask
+        g_, a_ = sm.shape
+        gar = jnp.arange(g_)[:, None, None]
+
+        fd = feats[slot_index] * sm[..., None]
+        pd = coords[slot_index] * sm[..., None]
+
+        k = min(self.num_neighbors, a_ - 1)
+        nbr_idx, nbr_mask, sqd = knn_dense(
+            pd, sm, k,
+            valid_radius=self.valid_radius, squared_radius=False,
+            exclude_self=True,
+        )
+        rel_pos = pd[:, :, None, :] - pd[gar, nbr_idx]
+        rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]
+        max_j = 2 * (self.num_degrees - 1)
+        sh = spherical_harmonics(max_j, rel_pos)
+
+        x = {0: fd[..., None]}
+        x = ConvSE3(fiber_in, fiber_hidden, name="conv_in")(
+            x, nbr_idx, nbr_mask, rel_dist, sh
+        )
+
+        for i in range(self.depth):
+            res = x
+            out = NormSE3(fiber_hidden, name=f"attn_prenorm_{i}")(x)
+            out = AttentionSE3(
+                fiber_hidden,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                attend_self=self.attend_self,
+                name=f"attn_{i}",
+            )(out, nbr_idx, nbr_mask, rel_dist, sh)
+            x = {d: out[d] + res[d] for d in out}
+            res = x
+            out = NormSE3(fiber_hidden, name=f"ff_prenorm_{i}")(x)
+            out = FeedForwardSE3(fiber_hidden, name=f"ff_{i}")(out)
+            x = {d: out[d] + res[d] for d in out}
+
+        x = ConvSE3(fiber_hidden, fiber_out, name="conv_out")(
+            x, nbr_idx, nbr_mask, rel_dist, sh
+        )
+
+        type0 = x[0][..., 0]  # [G, A, dim]
+        return type0[graph_id, atom_slot]

@@ -36,6 +36,7 @@ from flax import linen as nn
 
 from equihgnn_tpu.nn.encoders import AtomEncoder
 from equihgnn_tpu.ops.knn import knn_dense
+from equihgnn_tpu.ops.numerics import safe_norm
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -121,7 +122,7 @@ class VecLayerNorm(nn.Module):
 
     def _max_min(self, vec):
         # vec [..., L, C]
-        dist = jnp.linalg.norm(vec, axis=-2, keepdims=True)  # [..., 1, C]
+        dist = safe_norm(vec, axis=-2, keepdims=True)  # [..., 1, C]
         direct = vec / jnp.maximum(dist, self.eps)
         max_v = jnp.max(dist, axis=-1, keepdims=True)
         min_v = jnp.min(dist, axis=-1, keepdims=True)
@@ -253,7 +254,7 @@ class GatedEquivariantBlock(nn.Module):
     @nn.compact
     def __call__(self, x, v):
         # x [..., h], v [..., L, h]
-        vec1 = jnp.linalg.norm(
+        vec1 = safe_norm(
             _Proj(self.hidden_channels, use_bias=False, name="vec1_proj")(v),
             axis=-2,
         )
@@ -316,9 +317,7 @@ class ViSNet(nn.Module):
         pj = pd[gar, nbr_idx]
         edge_vec = pd[:, :, None, :] - pj  # i - j
         is_self = nbr_idx == jnp.arange(a_)[None, :, None]
-        unit = edge_vec / jnp.maximum(
-            jnp.linalg.norm(edge_vec, axis=-1, keepdims=True), 1e-12
-        )
+        unit = edge_vec / safe_norm(edge_vec, axis=-1, keepdims=True)
         unit = jnp.where(is_self[..., None], edge_vec, unit)  # self stays 0
         d_ij = spherical_harmonics_l2(unit, self.lmax)  # [G, A, k, L]
 

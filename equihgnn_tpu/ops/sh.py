@@ -33,8 +33,9 @@ def spherical_harmonics(lmax: int, vec, normalize: bool = True):
     """
     v = vec
     if normalize:
-        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        v = jnp.where(n > 1e-12, v / jnp.maximum(n, 1e-12), 0.0)
+        # safe norm: zero vectors map to zero with a defined gradient
+        n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
+        v = jnp.where(n > 1e-10, v / n, 0.0)
     ys = [jnp.ones(v.shape[:-1] + (1,), dtype=v.dtype)]
     if lmax == 0:
         return ys
