@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--num_devices", default=None, type=int)
     p.add_argument("--synthetic_size", default=None, type=int)
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force a JAX platform (the image pins axon via sitecustomize)",
+    )
     return p
 
 
@@ -77,6 +81,11 @@ GRAPH_METHODS = ("gin", "gcn", "gat", "gatv2")
 
 
 def run(args) -> dict:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     import equihgnn_tpu.data.datasets  # noqa: F401
     import equihgnn_tpu.models  # noqa: F401
 

@@ -23,6 +23,33 @@ from equihgnn_tpu.nn.mlp import MaskedBatchNorm, TorchLinear
 from equihgnn_tpu.ops.segment import segment_count, segment_max, segment_sum
 
 
+class Set2Set(nn.Module):
+    """Set2Set pooling (`torch_geometric.nn.aggr.Set2Set` with
+    processing_steps=2, used by `reference baseline_2d.py:160-161`)."""
+
+    emb_dim: int
+    processing_steps: int = 2
+
+    @nn.compact
+    def __call__(self, x, graph_id, num_graphs: int, mask=None):
+        from equihgnn_tpu.ops.segment import segment_softmax, segment_sum
+
+        d = self.emb_dim
+        cell = nn.LSTMCell(features=d, name="lstm")
+        carry = (
+            jnp.zeros((num_graphs, d), x.dtype),
+            jnp.zeros((num_graphs, d), x.dtype),
+        )
+        q_star = jnp.zeros((num_graphs, 2 * d), x.dtype)
+        for _ in range(self.processing_steps):
+            carry, q = cell(carry, q_star)
+            e = jnp.sum(x * q[graph_id], axis=-1, keepdims=True)
+            a = segment_softmax(e, graph_id, num_graphs, mask=mask)
+            r = segment_sum(a * x, graph_id, num_graphs, mask=mask)
+            q_star = jnp.concatenate([q, r], axis=-1)
+        return q_star
+
+
 class GINConv(nn.Module):
     """`reference baseline_2d.py:19-46`: mlp((1+eps)x + Σ_j relu(x_j + e_ij))."""
 
@@ -224,6 +251,10 @@ class GNN2D(nn.Module):
             )
             hg = segment_sum(
                 w * h_node, batch.atom_graph_id, batch.num_graphs, mask=batch.atom_mask
+            )
+        elif pooling == "set2set":
+            hg = Set2Set(emb_dim, processing_steps=2, name="pool_set2set")(
+                h_node, batch.atom_graph_id, batch.num_graphs, mask=batch.atom_mask
             )
         else:
             raise ValueError(f"Invalid graph pooling type {pooling!r}")

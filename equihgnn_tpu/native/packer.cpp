@@ -1,0 +1,119 @@
+// Native batch packer: fills static-shape padded hypergraph batches directly
+// from the packed (concatenated + offsets) dataset arrays.
+//
+// This is the host-side hot path of the data loader: for every training step
+// the ragged molecules selected for a batch must be copied into padded dense
+// buffers with index offsetting and slot-table construction. The pure-Python
+// version loops per molecule; this C++ version does the whole batch in one
+// call (invoked via ctypes — no pybind11 dependency).
+//
+// The reference has no first-party native code — its packing is PyG's
+// collation inside torch (SURVEY §2.9); this replaces that role.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Returns 0 on success, 1 on capacity overflow, 2 on A_max overflow.
+int pack_hypergraph_batch(
+    // packed dataset (concatenated over all samples)
+    const int32_t* af, const int64_t* af_off,          // [sum_atoms, 9]
+    const int64_t* vi, const int64_t* vi_off,          // [sum_nnz]
+    const int64_t* hi, const int64_t* hi_off,          // [sum_nnz]
+    const int64_t* hf, const int64_t* hf_off,          // [sum_hedges]
+    const float* y,                                    // [n_samples, n_targets]
+    int64_t n_targets, int64_t target,                 // column select (-1: y scalar)
+    const float* pos,                                  // [sum_atoms, 3] or null
+    const int32_t* z,                                  // [sum_atoms] or null
+    // batch member list
+    const int64_t* members, int64_t n_members,
+    // static spec
+    int64_t G, int64_t N, int64_t E, int64_t NNZ, int64_t A,
+    // outputs (preallocated, uninitialized)
+    int32_t* out_af,        // [N, 9]
+    uint8_t* out_amask,     // [N]
+    int32_t* out_agid,      // [N]
+    int32_t* out_vi,        // [NNZ]
+    int32_t* out_hi,        // [NNZ]
+    uint8_t* out_imask,     // [NNZ]
+    int32_t* out_hf,        // [E]
+    uint8_t* out_hmask,     // [E]
+    int32_t* out_hgid,      // [E]
+    int32_t* out_eord,      // [E]
+    float* out_y,           // [G]
+    uint8_t* out_gmask,     // [G]
+    float* out_pos,         // [N, 3] or null
+    int32_t* out_z,         // [N] or null
+    int32_t* out_slot_index,  // [G, A] or null
+    uint8_t* out_slot_mask,   // [G, A] or null
+    int32_t* out_atom_slot    // [N] or null
+) {
+    const int32_t pad_gid = (int32_t)(G - 1);
+
+    // initialize padding values
+    std::memset(out_af, 0, sizeof(int32_t) * N * 9);
+    std::memset(out_amask, 0, N);
+    for (int64_t i = 0; i < N; ++i) out_agid[i] = pad_gid;
+    for (int64_t i = 0; i < NNZ; ++i) out_vi[i] = (int32_t)(N - 1);
+    for (int64_t i = 0; i < NNZ; ++i) out_hi[i] = (int32_t)(E - 1);
+    std::memset(out_imask, 0, NNZ);
+    std::memset(out_hf, 0, sizeof(int32_t) * E);
+    std::memset(out_hmask, 0, E);
+    for (int64_t i = 0; i < E; ++i) out_hgid[i] = pad_gid;
+    std::memset(out_eord, 0, sizeof(int32_t) * E);
+    std::memset(out_y, 0, sizeof(float) * G);
+    std::memset(out_gmask, 0, G);
+    if (out_pos) std::memset(out_pos, 0, sizeof(float) * N * 3);
+    if (out_z) std::memset(out_z, 0, sizeof(int32_t) * N);
+    if (out_slot_index) std::memset(out_slot_index, 0, sizeof(int32_t) * G * A);
+    if (out_slot_mask) std::memset(out_slot_mask, 0, G * A);
+    if (out_atom_slot) std::memset(out_atom_slot, 0, sizeof(int32_t) * N);
+
+    int64_t a0 = 0, e0 = 0, z0 = 0;
+    for (int64_t g = 0; g < n_members; ++g) {
+        const int64_t s = members[g];
+        const int64_t na = af_off[s + 1] - af_off[s];
+        const int64_t ne = hf_off[s + 1] - hf_off[s];
+        const int64_t nz = vi_off[s + 1] - vi_off[s];
+        if (a0 + na > N || e0 + ne > E || z0 + nz > NNZ || g >= G - 1) return 1;
+        if (out_slot_index && na > A) return 2;
+
+        std::memcpy(out_af + a0 * 9, af + af_off[s] * 9, sizeof(int32_t) * na * 9);
+        std::memset(out_amask + a0, 1, na);
+        for (int64_t i = 0; i < na; ++i) out_agid[a0 + i] = (int32_t)g;
+        if (out_pos && pos)
+            std::memcpy(out_pos + a0 * 3, pos + af_off[s] * 3, sizeof(float) * na * 3);
+        if (out_z && z)
+            std::memcpy(out_z + a0, z + af_off[s], sizeof(int32_t) * na);
+        if (out_slot_index) {
+            for (int64_t i = 0; i < na; ++i) {
+                out_slot_index[g * A + i] = (int32_t)(a0 + i);
+                out_slot_mask[g * A + i] = 1;
+                out_atom_slot[a0 + i] = (int32_t)i;
+            }
+        }
+
+        const int64_t* vsrc = vi + vi_off[s];
+        const int64_t* hsrc = hi + hi_off[s];
+        for (int64_t i = 0; i < nz; ++i) {
+            const int32_t h_local = (int32_t)hsrc[i];
+            out_vi[z0 + i] = (int32_t)(vsrc[i] + a0);
+            out_hi[z0 + i] = (int32_t)(h_local + e0);
+            out_imask[z0 + i] = 1;
+            out_eord[e0 + h_local] += 1;
+        }
+        for (int64_t i = 0; i < ne; ++i) {
+            out_hf[e0 + i] = (int32_t)hf[hf_off[s] + i];
+            out_hmask[e0 + i] = 1;
+            out_hgid[e0 + i] = (int32_t)g;
+        }
+        out_y[g] = (target >= 0) ? y[s * n_targets + target] : y[s];
+        out_gmask[g] = 1;
+
+        a0 += na; e0 += ne; z0 += nz;
+    }
+    return 0;
+}
+
+}  // extern "C"

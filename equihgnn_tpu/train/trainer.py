@@ -52,6 +52,9 @@ class TrainConfig:
     data_parallel: bool = False
     num_devices: int | None = None
     debug: bool = False  # fast_dev_run: 1 train + 1 val batch, no checkpoint
+    resume: bool = False  # restore ckpt_last before fitting (the reference
+    #                       has no mid-run resume — SURVEY §5.4; extension)
+    profile_dir: str | None = None  # jax.profiler trace of epoch 1 (SURVEY §5.1)
 
 
 def _adam_like(weight_decay: float, clip_gnorm: float | None = None):
@@ -252,11 +255,25 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best = {"val_mae_mean": float("inf"), "epoch": -1}
         lr = cfg.lr
+        start_epoch = 0
+        if cfg.resume:
+            meta = self._restore_checkpoint("last")
+            if meta:
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                lr = float(meta.get("lr", lr))
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             rng, k = jax.random.split(rng)
-            train_loss = self.train_epoch(train_loader_fn(epoch), lr, k, make_empty)
+            if cfg.profile_dir and epoch == start_epoch + 1:
+                with jax.profiler.trace(cfg.profile_dir):
+                    train_loss = self.train_epoch(
+                        train_loader_fn(epoch), lr, k, make_empty
+                    )
+            else:
+                train_loss = self.train_epoch(
+                    train_loader_fn(epoch), lr, k, make_empty
+                )
             acc = self.eval_epoch(val_loader_fn(), make_empty)
             metrics = acc.compute(
                 prefix="val_", num_bootstraps=cfg.num_bootstraps, seed=epoch
@@ -271,8 +288,10 @@ class Trainer:
             monitored = metrics["val_mae_mean"]
             if monitored < best["val_mae_mean"] and not cfg.debug:
                 best = {"val_mae_mean": monitored, "epoch": epoch}
-                self._save_checkpoint("best")
+                self._save_checkpoint("best", meta={"epoch": epoch, "lr": lr})
             lr = plateau.step(monitored)
+            if not cfg.debug:
+                self._save_checkpoint("last", meta={"epoch": epoch, "lr": lr})
             if early.step(monitored) or cfg.debug:
                 break
         return best
@@ -309,7 +328,7 @@ class Trainer:
         base = self.cfg.log_dir or "checkpoints"
         return os.path.abspath(os.path.join(base, f"ckpt_{tag}"))
 
-    def _save_checkpoint(self, tag: str):
+    def _save_checkpoint(self, tag: str, meta: dict | None = None):
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(tag)
@@ -321,13 +340,16 @@ class Trainer:
         }
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
+        if meta is not None:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
 
-    def _restore_checkpoint(self, tag: str):
+    def _restore_checkpoint(self, tag: str) -> dict | None:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(tag)
         if not os.path.exists(path):
-            return
+            return None
         ckptr = ocp.StandardCheckpointer()
         target = {
             "params": self.params,
@@ -338,3 +360,8 @@ class Trainer:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.batch_stats = state["batch_stats"]
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        return {}
