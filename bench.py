@@ -42,7 +42,22 @@ def main():
     for s in samples:
         s.y = np.float32((s.n_atoms - 16.0) / 8.0)
     spec = spec_for_samples(samples, batch_size=BATCH)
-    host_batches = list(iter_batches(samples, spec, with_pos=True))
+    # packed slot rows: ~25% faster than per-molecule rows (same numerics,
+    # see tests/test_packed_rows.py)
+    from equihgnn_tpu.data.batching import pad_hypergraph_batch
+
+    groups, g, na, ne, nz = [], [], 0, 0, 0
+    for s in samples:
+        if (len(g) >= spec.max_real_graphs or na + s.n_atoms > spec.num_atoms
+                or ne + s.n_hedges > spec.num_hedges or nz + s.nnz > spec.nnz):
+            groups.append(g); g, na, ne, nz = [], 0, 0, 0
+        g.append(s); na += s.n_atoms; ne += s.n_hedges; nz += s.nnz
+    if g:
+        groups.append(g)
+    host_batches = [
+        pad_hypergraph_batch(gr, spec, with_pos=True, pack_slots=True)
+        for gr in groups
+    ]
     mols_per_batch = [int(b.graph_mask.sum()) for b in host_batches]
     batches = [jax.tree.map(jnp.asarray, b) for b in host_batches]
 

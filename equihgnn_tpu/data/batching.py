@@ -35,7 +35,8 @@ class BatchSpec:
     num_atoms: int
     num_hedges: int  # hyperedge slots (hypergraph) / edge slots (graph)
     nnz: int  # incidence entries (hypergraph only)
-    max_atoms_per_graph: int = 0  # A_max for the dense per-molecule view
+    max_atoms_per_graph: int = 0  # A_max for the dense slot view
+    num_slot_rows: int = 0  # static row count for packed slot view (0 = G rows)
 
     @property
     def max_real_graphs(self) -> int:
@@ -69,12 +70,16 @@ def spec_for_samples(
     cap = lambda arr, mean: _round_up(
         max(int(batch_size * mean * headroom), int(arr.max()) + 1), atom_multiple
     )
+    a_max = _round_up(int(n_atoms.max()), atom_multiple)
+    num_atoms = cap(n_atoms, mean_atoms)
     return BatchSpec(
         num_graphs=batch_size + 1,
-        num_atoms=cap(n_atoms, mean_atoms),
+        num_atoms=num_atoms,
         num_hedges=cap(n_edge, float(n_edge.mean())),
         nnz=cap(nnz, float(nnz.mean())),
-        max_atoms_per_graph=_round_up(int(n_atoms.max()), atom_multiple),
+        max_atoms_per_graph=a_max,
+        # FFD bin packing is within 11/9·OPT + 1 of optimal; OPT ≥ atoms/A
+        num_slot_rows=int(num_atoms / a_max * 1.3) + 3,
     )
 
 
@@ -83,6 +88,7 @@ def pad_hypergraph_batch(
     spec: BatchSpec,
     target: int | None = None,
     with_pos: bool = False,
+    pack_slots: bool = False,
 ) -> HyperGraphBatch:
     """Pack molecules into one padded `HyperGraphBatch` (host-side numpy).
 
@@ -111,9 +117,32 @@ def pad_hypergraph_batch(
     pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None
     z = np.zeros((N,), dtype=np.int32) if with_pos else None
     A = spec.max_atoms_per_graph
-    slot_index = np.zeros((G, A), dtype=np.int32) if A else None
-    slot_mask = np.zeros((G, A), dtype=bool) if A else None
+    if A and pack_slots:
+        if not spec.num_slot_rows:
+            raise ValueError("pack_slots=True needs spec.num_slot_rows > 0")
+        n_rows = spec.num_slot_rows
+        # first-fit-decreasing row assignment (independent of flat layout)
+        row_of = np.zeros(len(samples), dtype=np.int64)
+        start_of = np.zeros(len(samples), dtype=np.int64)
+        row_fill = np.zeros(n_rows, dtype=np.int64)
+        for g in sorted(range(len(samples)), key=lambda i: -samples[i].n_atoms):
+            na = samples[g].n_atoms
+            fits = np.where(row_fill + na <= A)[0]
+            if len(fits) == 0:
+                raise ValueError(
+                    f"row packing overflow: {len(samples)} molecules need more "
+                    f"than {n_rows} rows of {A} slots"
+                )
+            row_of[g] = fits[0]
+            start_of[g] = row_fill[fits[0]]
+            row_fill[fits[0]] += na
+    else:
+        n_rows = G
+    slot_index = np.zeros((n_rows, A), dtype=np.int32) if A else None
+    slot_mask = np.zeros((n_rows, A), dtype=bool) if A else None
+    slot_gid = np.full((n_rows, A), -1, dtype=np.int32) if A else None
     atom_slot = np.zeros((N,), dtype=np.int32) if A else None
+    atom_row = np.zeros((N,), dtype=np.int32) if A else None
 
     a0 = e0 = z0 = 0
     for g, s in enumerate(samples):
@@ -129,9 +158,15 @@ def pad_hypergraph_batch(
         if A:
             if na > A:
                 raise ValueError(f"Molecule with {na} atoms exceeds A_max={A}")
-            slot_index[g, :na] = np.arange(a0, a0 + na)
-            slot_mask[g, :na] = True
-            atom_slot[a0 : a0 + na] = np.arange(na)
+            if pack_slots:
+                row, s0 = int(row_of[g]), int(start_of[g])
+            else:
+                row, s0 = g, 0
+            slot_index[row, s0 : s0 + na] = np.arange(a0, a0 + na)
+            slot_mask[row, s0 : s0 + na] = True
+            slot_gid[row, s0 : s0 + na] = g
+            atom_slot[a0 : a0 + na] = np.arange(s0, s0 + na)
+            atom_row[a0 : a0 + na] = row
         vertex_idx[z0 : z0 + nz] = s.vertex_idx + a0
         hedge_idx[z0 : z0 + nz] = s.hedge_idx + e0
         inc_mask[z0 : z0 + nz] = True
@@ -167,7 +202,10 @@ def pad_hypergraph_batch(
         z=z,
         slot_index=slot_index,
         slot_mask=slot_mask,
+        slot_gid=slot_gid,
         atom_slot=atom_slot,
+        atom_row=atom_row,
+        rows_are_molecules=not pack_slots,
     )
 
 
@@ -237,6 +275,67 @@ def pad_graph_batch(
         pos=pos,
         z=z,
     )
+
+
+def make_size_buckets(
+    samples: Sequence,
+    batch_size: int,
+    atom_boundaries: Sequence[int] = (16,),
+    atom_multiple: int = 8,
+    headroom: float = 1.05,
+):
+    """Split molecules into size buckets with tight per-bucket specs.
+
+    Padding waste in the dense [G, A_max] view is the main throughput loss
+    when molecule sizes vary (QM9: 4–29 atoms → ~54% slot utilization with a
+    single A_max=32 spec). Bucketing by atom count gives each bucket its own
+    (A_max, N, E, nnz) capacities; the compile cost is one program per bucket.
+
+    Returns a list of (indices, BatchSpec).
+    """
+    n_atoms = np.array([s.n_atoms for s in samples])
+    bounds = list(atom_boundaries) + [int(n_atoms.max())]
+    buckets = []
+    lo = 0
+    for hi in bounds:
+        sel = np.where((n_atoms > lo) & (n_atoms <= hi))[0]
+        if len(sel):
+            spec = spec_for_samples(
+                [samples[i] for i in sel], batch_size,
+                atom_multiple=atom_multiple, headroom=headroom,
+            )
+            buckets.append((sel, spec))
+        lo = hi
+    return buckets
+
+
+def iter_bucketed_batches(
+    samples: Sequence,
+    buckets,
+    *,
+    target: int | None = None,
+    with_pos: bool = False,
+    shuffle: bool = False,
+    rng: np.random.Generator | None = None,
+):
+    """Iterate padded batches over size buckets (batch order interleaved)."""
+    rng = rng or np.random.default_rng()
+    iters = []
+    for sel, spec in buckets:
+        idx = sel.copy()
+        if shuffle:
+            rng.shuffle(idx)
+        iters.append(
+            iter_batches(
+                [samples[i] for i in idx], spec,
+                target=target, with_pos=with_pos, shuffle=False,
+            )
+        )
+    batches = [b for it in iters for b in it]
+    if shuffle:
+        order = rng.permutation(len(batches))
+        batches = [batches[i] for i in order]
+    yield from batches
 
 
 def iter_batches(

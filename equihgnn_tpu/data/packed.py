@@ -176,6 +176,16 @@ def pack_batch(
     if rc != 0:
         raise ValueError(f"native packer failed (code {rc}) for spec {spec}")
 
+    # derived slot-row metadata (native rows are per-molecule)
+    slot_gid = None
+    atom_row = None
+    if si is not None:
+        smb = sm.astype(bool)
+        slot_gid = np.where(
+            smb, np.arange(G, dtype=np.int32)[:, None], np.int32(-1)
+        )
+        atom_row = out["atom_graph_id"].copy()
+
     return HyperGraphBatch(
         atom_feat=out["atom_feat"],
         atom_mask=out["atom_mask"].astype(bool),
@@ -193,7 +203,9 @@ def pack_batch(
         z=z_out,
         slot_index=si,
         slot_mask=None if sm is None else sm.astype(bool),
+        slot_gid=slot_gid,
         atom_slot=aslot,
+        atom_row=atom_row,
     )
 
 

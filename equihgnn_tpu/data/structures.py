@@ -105,14 +105,19 @@ class HyperGraphBatch:
     graph_mask: jnp.ndarray  # [num_graphs] bool
     pos: jnp.ndarray | None = None  # [N_pad, 3] float32
     z: jnp.ndarray | None = None  # [N_pad] int32
-    # Dense per-molecule view for geometric encoders: instead of the
-    # reference's O(N²) whole-batch pairwise tensors (SURVEY §2.7), kNN and
-    # attention run on [G, A_max] molecule-major layouts — O(G·A²) memory and
-    # MXU-batchable. `slot_index[g, a]` is the flat atom row of molecule g's
-    # a-th atom; `atom_slot[i]` is atom i's slot within its molecule.
-    slot_index: jnp.ndarray | None = None  # [num_graphs, A_max] int32
-    slot_mask: jnp.ndarray | None = None  # [num_graphs, A_max] bool
-    atom_slot: jnp.ndarray | None = None  # [N_pad] int32
+    # Dense slot view for geometric encoders: instead of the reference's
+    # O(N²) whole-batch pairwise tensors (SURVEY §2.7), kNN and attention run
+    # on [R, A_max] row-major layouts — O(R·A²) memory and MXU-batchable.
+    # Default: one row per molecule (R = num_graphs). With row packing
+    # (`pack_slots=True`), several small molecules share a row and
+    # `slot_gid` disambiguates them for neighbor masking (~2× fewer wasted
+    # slots on QM9-like size distributions).
+    slot_index: jnp.ndarray | None = None  # [R, A_max] int32 flat atom index
+    slot_mask: jnp.ndarray | None = None  # [R, A_max] bool
+    slot_gid: jnp.ndarray | None = None  # [R, A_max] int32 molecule id (-1 pad)
+    atom_slot: jnp.ndarray | None = None  # [N_pad] int32 slot within row
+    atom_row: jnp.ndarray | None = None  # [N_pad] int32 row index
+    rows_are_molecules: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_atoms(self) -> int:

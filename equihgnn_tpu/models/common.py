@@ -61,5 +61,14 @@ def conjugated_hedge_pool(e, batch):
 
 
 def flat_pred(x):
-    """`.view(-1)` of a [G, 1] head output."""
-    return jnp.reshape(x, (-1,))
+    """`.view(-1)` of a [G, 1] head output; predictions always float32."""
+    return jnp.reshape(x, (-1,)).astype(jnp.float32)
+
+
+def cast_compute(cfg, *arrays):
+    """Cast activations to the configured compute dtype (no-op by default)."""
+    if cfg.compute_dtype is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    dt = jnp.dtype(cfg.compute_dtype)
+    out = tuple(None if a is None else a.astype(dt) for a in arrays)
+    return out if len(out) > 1 else out[0]

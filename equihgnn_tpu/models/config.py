@@ -34,6 +34,9 @@ class ModelConfig:
     axis_name: str | None = None  # cross-replica axis for BatchNorm stats
     cross_molecule_knn: bool = False  # replicate reference batch-as-point-cloud kNN
     remat: bool = False  # jax.checkpoint over conv layers
+    compute_dtype: str | None = None  # e.g. "bfloat16": cast activations after
+    #   the encoders (params and loss stay float32) — halves HBM traffic on
+    #   the TPU's bandwidth-bound steps
 
     @classmethod
     def from_args(cls, args) -> "ModelConfig":

@@ -28,7 +28,10 @@ class _EGNNBase(nn.Module):
                 "egnn_equihnn* models need 3-D coordinates: build batches with "
                 "with_pos=True (use a *_hg_3d dataset)"
             )
+        from equihgnn_tpu.models.common import cast_compute
+
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
+        x, pos = cast_compute(cfg, x, batch.pos)
         x, _ = EGNN(
             dim=cfg.mlp_hidden,
             norm_coors=True,
@@ -40,12 +43,14 @@ class _EGNNBase(nn.Module):
             name="egnn_layer",
         )(
             x,
-            batch.pos,
+            pos,
             mask=batch.atom_mask,
             graph_id=batch.atom_graph_id,
             slot_index=batch.slot_index,
             slot_mask=batch.slot_mask,
             atom_slot=batch.atom_slot,
+            slot_gid=batch.slot_gid,
+            atom_row=batch.atom_row,
             deterministic=deterministic,
         )
         return x

@@ -46,9 +46,10 @@ class EquiformerEquiHNNS(nn.Module):
         )(
             x,
             batch.pos,
-            batch.atom_graph_id,
+            batch.atom_graph_id if batch.atom_row is None else batch.atom_row,
             batch.slot_index,
             batch.slot_mask,
             batch.atom_slot,
+            slot_gid=batch.slot_gid,
         )
         return TrunkS(self.num_target, cfg, name="trunk")(x, batch, deterministic)

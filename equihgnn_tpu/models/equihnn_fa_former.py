@@ -28,7 +28,15 @@ class _FAFormerBase(nn.Module):
                 "faformer_equihnn* models need 3-D coordinates and the dense "
                 "per-molecule view: build batches with with_pos=True"
             )
+        if not batch.rows_are_molecules:
+            raise ValueError(
+                "faformer_equihnn* models need per-molecule slot rows (frame "
+                "averaging is per molecule): build batches with pack_slots=False"
+            )
+        from equihgnn_tpu.models.common import cast_compute
+
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
+        x, pos = cast_compute(cfg, x, batch.pos)
         x, _ = FAFormer(
             d_input=cfg.mlp_hidden,
             d_model=cfg.mlp_hidden,
@@ -41,7 +49,7 @@ class _FAFormerBase(nn.Module):
             name="fa_former",
         )(
             x,
-            batch.pos,
+            pos,
             batch.atom_graph_id,
             batch.slot_index,
             batch.slot_mask,

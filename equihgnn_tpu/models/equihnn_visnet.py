@@ -36,10 +36,11 @@ class _ViSNetBase(nn.Module):
         )(
             batch.atom_feat,
             batch.pos,
-            batch.atom_graph_id,
+            batch.atom_graph_id if batch.atom_row is None else batch.atom_row,
             batch.slot_index,
             batch.slot_mask,
             batch.atom_slot,
+            slot_gid=batch.slot_gid,
         )
 
 

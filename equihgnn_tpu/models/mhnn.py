@@ -22,7 +22,10 @@ class _MHNNBase(nn.Module):
     cfg: ModelConfig
 
     def encode(self, batch: HyperGraphBatch):
-        return AtomEncoder(self.cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
+        from equihgnn_tpu.models.common import cast_compute
+
+        x = AtomEncoder(self.cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
+        return cast_compute(self.cfg, x)
 
 
 @registry.register_model("mhnn")

@@ -22,6 +22,7 @@ from flax import linen as nn
 from equihgnn_tpu.data.structures import HyperGraphBatch
 from equihgnn_tpu.models.common import (
     Activation,
+    cast_compute,
     conjugated_hedge_pool,
     flat_pred,
     global_add_pool,
@@ -43,7 +44,7 @@ class TrunkFull(nn.Module):
         cfg = self.cfg
         act = Activation(cfg.activation, name="act")
         drop = nn.Dropout(cfg.dropout)
-        e = HedgeEncoder(cfg.mlp_hidden, name="bond_encoder")(batch.hedge_feat)
+        e = cast_compute(cfg, HedgeEncoder(cfg.mlp_hidden, name="bond_encoder")(batch.hedge_feat))
         conv = MHNNConv(
             hid_dim=cfg.mlp_hidden,
             mlp1_layers=cfg.mlp1_layers,
@@ -156,7 +157,7 @@ class TrunkM(nn.Module):
         cfg = self.cfg
         act = Activation(cfg.activation, name="act")
         drop = nn.Dropout(cfg.dropout)
-        e = HedgeEncoder(cfg.mlp_hidden, name="bond_encoder")(batch.hedge_feat)
+        e = cast_compute(cfg, HedgeEncoder(cfg.mlp_hidden, name="bond_encoder")(batch.hedge_feat))
         for i in range(cfg.all_num_layers):
             layer = MHNNConv(
                 hid_dim=cfg.mlp_hidden,

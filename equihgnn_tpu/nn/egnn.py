@@ -139,9 +139,11 @@ class EGNN(nn.Module):
         coors,  # [N, 3]
         mask=None,  # [N] bool
         graph_id=None,  # [N] int32 — per-molecule neighborhoods
-        slot_index=None,  # [G, A] dense per-molecule view (fast path)
-        slot_mask=None,  # [G, A]
+        slot_index=None,  # [R, A] dense slot view (fast path)
+        slot_mask=None,  # [R, A]
         atom_slot=None,  # [N]
+        slot_gid=None,  # [R, A] molecule id per slot (packed rows)
+        atom_row=None,  # [N] row index (defaults to graph_id)
         deterministic: bool = True,
     ):
         k = self.num_nearest_neighbors
@@ -157,6 +159,7 @@ class EGNN(nn.Module):
             from equihgnn_tpu.ops.knn import knn_dense
 
             sm = slot_mask
+            row = graph_id if atom_row is None else atom_row
             xd = feats[slot_index] * sm[..., None]
             pd = coors[slot_index] * sm[..., None]
             nbr_idx, nbr_mask, _ = knn_dense(
@@ -164,6 +167,7 @@ class EGNN(nn.Module):
                 valid_radius=self.valid_radius,
                 squared_radius=True,  # reference quirk: radius vs squared dist
                 exclude_self=False,
+                slot_gid=slot_gid,
             )
             garange = jnp.arange(pd.shape[0])[:, None, None]
             pj = pd[garange, nbr_idx]  # [G, A, k, 3]
@@ -173,10 +177,10 @@ class EGNN(nn.Module):
             new_xd, new_pd = self._message_pass(
                 xd, pd, rel_coors, rel_dist, feats_j, nbr_mask, deterministic
             )
-            # scatter back to the flat layout (padded rows read slot 0 of the
-            # padding graph → deterministic zeros-derived values)
-            new_feats = new_xd[graph_id, atom_slot]
-            new_coors = new_pd[graph_id, atom_slot]
+            # scatter back to the flat layout (padded rows read slot 0 of
+            # row 0 → deterministic zeros-derived values)
+            new_feats = new_xd[row, atom_slot]
+            new_coors = new_pd[row, atom_slot]
             return new_feats, new_coors
 
         gid = None if self.cross_molecule else graph_id

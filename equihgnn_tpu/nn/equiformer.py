@@ -394,6 +394,7 @@ class Equiformer(nn.Module):
         slot_index,  # [G, A]
         slot_mask,  # [G, A]
         atom_slot,  # [N]
+        slot_gid=None,  # [R, A] molecule id per slot (packed rows)
     ):
         num_degrees = len(self.dim)
         sm = slot_mask
@@ -411,7 +412,7 @@ class Equiformer(nn.Module):
         nbr_idx, nbr_mask, sqd = knn_dense(
             pd, sm, k,
             valid_radius=self.valid_radius, squared_radius=False,
-            exclude_self=True,
+            exclude_self=True, slot_gid=slot_gid,
         )
         rel_pos = pd[:, :, None, :] - pd[gar, nbr_idx]  # i − j (`:1308-1310`)
         rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]

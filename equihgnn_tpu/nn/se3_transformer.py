@@ -265,6 +265,7 @@ class SE3Transformer(nn.Module):
         slot_index,
         slot_mask,
         atom_slot,
+        slot_gid=None,  # [R, A] molecule id per slot (packed rows)
     ):
         fiber_in = (self.dim,)
         fiber_hidden = (self.dim,) * self.num_degrees
@@ -280,7 +281,7 @@ class SE3Transformer(nn.Module):
         nbr_idx, nbr_mask, sqd = knn_dense(
             pd, sm, k,
             valid_radius=self.valid_radius, squared_radius=False,
-            exclude_self=True,
+            exclude_self=True, slot_gid=slot_gid,
         )
         rel_pos = pd[:, :, None, :] - pd[gar, nbr_idx]
         rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]

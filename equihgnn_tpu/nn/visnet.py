@@ -295,10 +295,11 @@ class ViSNet(nn.Module):
         self,
         atom_feat,  # [N, 9] OGB features (consumed as `z`)
         pos,  # [N, 3]
-        graph_id,  # [N]
-        slot_index,  # [G, A]
-        slot_mask,  # [G, A]
+        graph_id,  # [N] (row index with packed slot rows)
+        slot_index,  # [R, A]
+        slot_mask,  # [R, A]
         atom_slot,  # [N]
+        slot_gid=None,  # [R, A] molecule id per slot (packed rows)
     ):
         h, L = self.hidden_channels, (self.lmax + 1) ** 2 - 1
         sm = slot_mask
@@ -312,6 +313,7 @@ class ViSNet(nn.Module):
         nbr_idx, nbr_mask, sqd = knn_dense(
             pd, sm, self.max_num_neighbors + 1,
             valid_radius=self.cutoff, squared_radius=False, exclude_self=False,
+            slot_gid=slot_gid,
         )
         r_ij = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)
         pj = pd[gar, nbr_idx]

@@ -90,24 +90,28 @@ def gather_neighbors(values, nbr_idx):
 
 
 def knn_dense(
-    pos_d,  # [G, A, 3] molecule-major coordinates
-    slot_mask,  # [G, A] bool
+    pos_d,  # [R, A, 3] row-major coordinates
+    slot_mask,  # [R, A] bool
     k: int,
     valid_radius: float | None = None,
     squared_radius: bool = False,
     exclude_self: bool = False,
+    slot_gid=None,  # [R, A] molecule id per slot (packed rows)
 ):
-    """Per-molecule kNN in the dense [G, A] layout.
+    """Per-molecule kNN in the dense [R, A] slot layout.
 
     The TPU-first alternative to whole-batch O(N²) ranking: distances are
-    O(G·A²) and every op batches over molecules. Returns slot-indexed
-    neighbors (idx [G, A, k] into the A axis, mask [G, A, k]).
+    O(R·A²) and every op batches over rows. With packed rows (several
+    molecules per row), `slot_gid` restricts neighbors to the same molecule.
+    Returns slot-indexed neighbors (idx [R, A, k] into the A axis, mask).
     """
     g, a, _ = pos_d.shape
     k_eff = min(k, a)
     diff = pos_d[:, :, None, :] - pos_d[:, None, :, :]
-    sq = jnp.sum(diff * diff, axis=-1)  # [G, A, A]
+    sq = jnp.sum(diff * diff, axis=-1)  # [R, A, A]
     invalid = ~(slot_mask[:, :, None] & slot_mask[:, None, :])
+    if slot_gid is not None:
+        invalid |= slot_gid[:, :, None] != slot_gid[:, None, :]
     if exclude_self:
         invalid |= jnp.eye(a, dtype=bool)[None]
     ranking = jnp.where(invalid, BIG, sq)
