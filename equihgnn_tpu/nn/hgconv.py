@@ -83,7 +83,9 @@ class MHNNConv(nn.Module):
 
         # V→E messages
         mve = apply_w(w1, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask)
-        me = masked_segment_reduce(mve, hedge_idx, e_pad, self.aggr, mask=inc_mask)
+        me = masked_segment_reduce(
+            mve, hedge_idx, e_pad, self.aggr, mask=inc_mask, sorted_ids=True
+        )
         e = apply_w(w2, jnp.concatenate([e, me], -1), hedge_mask)
         # E→V messages
         mev = apply_w(w3, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask)
@@ -132,7 +134,9 @@ class MHNNSConv(nn.Module):
 
         xw = x if w1 is None else w1(x, mask=atom_mask, deterministic=deterministic)
         xve = xw[vertex_idx]
-        xe = masked_segment_reduce(xve, hedge_idx, num_hedges, self.aggr, mask=inc_mask)
+        xe = masked_segment_reduce(
+            xve, hedge_idx, num_hedges, self.aggr, mask=inc_mask, sorted_ids=True
+        )
         xev = jnp.concatenate([x[vertex_idx], xe[hedge_idx]], -1)
         xev = (
             xev[..., d:]

@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: segment-sum over SORTED segment ids.
+
+The hypergraph message-passing hot op (`equihgnn_tpu/nn/hgconv.py`) is a pair
+of scatter-adds per layer; XLA's scatter lowering achieves ~130 GB/s on this
+chip vs ~340 GB/s for elementwise ops. This kernel reformulates the sorted
+case as a block-local one-hot MATMUL (MXU) with sequential-grid accumulation:
+
+  * rows are processed in blocks of BM; a block's segment ids span the
+    contiguous window [base_b, base_b + BM) because ids are sorted
+  * block contribution = OneHot[s, i] (s = id - base_b) @ data[i, :] — an
+    MXU matmul instead of a serialized scatter
+  * the output block (padded by BM rows to absorb the window overhang) is
+    accumulated in place; the TPU grid executes sequentially, so
+    read-modify-write across row blocks is race-free.
+
+Backward of segment-sum is a plain gather: `jax.custom_vjp` below.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BM = 256  # rows per block
+BD = 128  # feature lanes per block
+
+
+def _kernel(base_ref, ids_ref, x_ref, out_ref):
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    base = base_ref[m]
+    ids = ids_ref[m, :]  # [BM] int32 (sorted)
+    local = ids - base  # 0 .. < BM (sortedness guarantees the window)
+    # one-hot [BM(segments), BM(rows)] on the fly
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (BM, BM), 0)
+    onehot = (seg_iota == local[None, :]).astype(jnp.float32)
+    # HIGHEST precision: the one-hot matmul is FLOP-trivial, and default MXU
+    # bf16 input rounding would cost ~0.4% relative error on the sums
+    contrib = jnp.dot(
+        onehot, x_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    win = pl.ds(base, BM)
+    out_ref[win, :] = out_ref[win, :] + contrib
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sorted_segment_sum(data, segment_ids, num_segments: int):
+    """segment_sum for sorted int32 `segment_ids`; returns [num_segments, D].
+
+    Contract: within any block of BM consecutive rows, the id span
+    (ids[last] - ids[first]) must be < BM — rows violating it are dropped.
+    This holds whenever every segment in the covered range has ≥ 1 row on
+    average (true for hypergraph incidence: hyperedges have ≥ 2 members,
+    atoms ≥ 1); zero-data padding rows may jump arbitrarily (their
+    contribution is zero either way).
+    """
+    return _forward(data, segment_ids, num_segments)
+
+
+def _forward(data, segment_ids, num_segments: int):
+    m, d = data.shape
+    mp, dp = _round_up(m, BM), _round_up(d, BD)
+    sp = _round_up(num_segments, BM) + BM  # overhang pad
+    x = jnp.zeros((mp, dp), data.dtype).at[:m, :d].set(data)
+    ids = jnp.full((mp,), num_segments - 1, jnp.int32).at[:m].set(
+        segment_ids.astype(jnp.int32)
+    )
+    ids2d = ids.reshape(mp // BM, BM)
+    ids_shape = ids2d.shape
+    base = ids2d[:, 0]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # base [n_blocks]
+            grid=(dp // BD, mp // BM),
+            in_specs=[
+                # full ids table resident in VMEM (~0.1 MB)
+                pl.BlockSpec(
+                    ids_shape, lambda dd, mm, base: (0, 0)
+                ),
+                pl.BlockSpec((BM, BD), lambda dd, mm, base: (mm, dd)),
+            ],
+            out_specs=pl.BlockSpec((sp, BD), lambda dd, mm, base: (0, dd)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((sp, dp), jnp.float32),
+    )(base, ids2d, x.astype(jnp.float32))
+    return out[:num_segments, :d].astype(data.dtype)
+
+
+def _fwd(data, segment_ids, num_segments: int):
+    return _forward(data, segment_ids, num_segments), segment_ids
+
+
+def _bwd(num_segments: int, segment_ids, g):
+    return g[segment_ids], None
+
+
+sorted_segment_sum.defvjp(_fwd, _bwd)
+
+
+def sorted_segment_sum_reference(data, segment_ids, num_segments: int):
+    """XLA reference implementation (for tests and fallback)."""
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+    )
