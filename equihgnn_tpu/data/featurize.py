@@ -79,6 +79,50 @@ def bond_to_feature_vector(bond) -> list[int]:
     ]
 
 
+# ------------------------------------------------------------------ ring lift
+def compute_ring_features(ring, molecule):
+    """(size, is_aromatic, has_heteroatom, is_saturated) of one ring.
+
+    ≡ `reference equihgnn/data/utils.py:8-32` (provenance
+    topological-equivariant-networks). Like the reference, this is shipped but
+    not consumed by any dataset — kept for capability parity.
+    """
+    Chem = _require_rdkit()
+    atoms = [molecule.GetAtomWithIdx(i) for i in ring]
+    return (
+        float(len(ring)),
+        float(all(a.GetIsAromatic() for a in atoms)),
+        float(any(a.GetSymbol() not in ("C", "H") for a in atoms)),
+        float(
+            all(a.GetHybridization() == Chem.HybridizationType.SP3 for a in atoms)
+        ),
+    )
+
+
+def extract_ring_info(mol):
+    """{(frozen atom set, ring feature vector)} (≡ `reference utils.py:24-32`)."""
+    cells = set()
+    for ring in mol.GetRingInfo().AtomRings():
+        idc = frozenset(ring)
+        cells.add((idc, compute_ring_features(idc, mol)))
+    return cells
+
+
+class OneTarget:
+    """Select one target column of a sample's y (≡ `reference utils.py:181-189`).
+
+    The TPU pipeline normally selects targets in the batcher (`target=` arg);
+    this transform exists for API parity with the reference.
+    """
+
+    def __init__(self, target: int = 0):
+        self.target = target
+
+    def __call__(self, sample):
+        sample.y = np.asarray(sample.y, dtype=np.float32).reshape(-1)[self.target]
+        return sample
+
+
 # ------------------------------------------------------------- conjugation lift
 def conjugated_groups(mol):
     """(node_idx, hedge_idx) membership of conjugated π-systems.

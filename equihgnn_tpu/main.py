@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--num_devices", default=None, type=int)
     p.add_argument("--synthetic_size", default=None, type=int)
+    p.add_argument("--pack_slots", action="store_true",
+                   help="pack small molecules into shared dense slot rows")
     p.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force a JAX platform (the image pins axon via sitecustomize)",
@@ -105,15 +107,18 @@ def run(args) -> dict:
 
     all_samples = train_s + valid_s + test_s
     spec = spec_for_samples(all_samples, batch_size=args.batch_size)
+    pack = bool(args.pack_slots) and hyper and args.method.startswith(
+        ("egnn", "visnet", "equiformer", "se3")
+    )
     if hyper:
-        pad = pad_hypergraph_batch
-        make_empty = lambda: pad([], spec, target=None, with_pos=with_pos)
+        make_empty = lambda: pad_hypergraph_batch(
+            [], spec, target=None, with_pos=with_pos, pack_slots=pack
+        )
     else:
         ef_width = all_samples[0].edge_feat.shape[1]
-        pad = lambda s, sp, **kw: pad_graph_batch(
-            s, sp, edge_feat_width=ef_width, **kw
+        make_empty = lambda: pad_graph_batch(
+            [], spec, target=None, with_pos=with_pos, edge_feat_width=ef_width
         )
-        make_empty = lambda: pad([], spec, target=None, with_pos=with_pos)
 
     def loader(samples, shuffle, epoch=0):
         return iter_batches(
@@ -124,6 +129,7 @@ def run(args) -> dict:
             with_pos=with_pos,
             shuffle=shuffle,
             rng=np.random.default_rng(args.seed * 100003 + epoch),
+            pack_slots=pack,
         )
 
     # select target column once, host-side

@@ -32,7 +32,11 @@ class _EGNNBase(nn.Module):
 
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
         x, pos = cast_compute(cfg, x, batch.pos)
-        x, _ = EGNN(
+        # remat replaces the reference's reversible-sequence memory trick
+        # (SURVEY §5.7): recompute the encoder in backward instead of storing
+        # its activations
+        egnn_cls = nn.remat(EGNN) if cfg.remat else EGNN
+        x, _ = egnn_cls(
             dim=cfg.mlp_hidden,
             norm_coors=True,
             norm_feats=True,

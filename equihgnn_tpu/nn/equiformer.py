@@ -364,6 +364,91 @@ class MLPAttention(nn.Module):
         )(outputs)
 
 
+class L2DistAttention(nn.Module):
+    """Negative-pairwise-L2 attention variant (`equiformer_layer.py:574-740`).
+
+    The reference's default attention class (the EquiHGNN model config selects
+    MLPAttention instead via `l2_dist_attention=False`). Deviation: the
+    reference leaves the degree-0 logits unmasked (`:713-718` only masks
+    higher degrees); we mask every degree — padded neighbors never attend.
+    """
+
+    fiber: Fiber
+    dim_head: int = 64
+    heads: int = 8
+    attend_self: bool = True
+    radial_hidden_dim: int = 64
+    init_out_zero: bool = True
+    gate_attn_head_outputs: bool = True
+
+    @nn.compact
+    def __call__(self, features: dict, nbr_idx, nbr_mask, rel_dist, sh) -> dict:
+        nd = len(self.fiber)
+        heads = (self.heads,) * nd
+        dim_head = (self.dim_head,) * nd
+        hidden_fiber = tuple(d * h for d, h in zip(dim_head, heads))
+        kv_fiber = tuple(2 * d for d in hidden_fiber)
+        scales = tuple(d**-0.5 for d in dim_head)
+
+        features = FiberNorm(self.fiber, name="prenorm")(features)
+        queries = FiberLinear(self.fiber, hidden_fiber, name="to_q")(features)
+        keyvalues = DTP(
+            self.fiber,
+            kv_fiber,
+            pool=False,
+            self_interaction=self.attend_self,
+            radial_hidden_dim=self.radial_hidden_dim,
+            name="to_kv",
+        )(features, nbr_idx, nbr_mask, rel_dist, sh)
+
+        if self.attend_self:
+            nbr_mask = jnp.pad(
+                nbr_mask, ((0, 0), (0, 0), (1, 0)), constant_values=True
+            )
+
+        gates = [None] * nd
+        if self.gate_attn_head_outputs:
+            gall = nn.sigmoid(
+                TorchLinear(sum(heads), name="attn_head_gates")(features[0][..., 0])
+            )
+            gates, start = [], 0
+            for h in heads:
+                gates.append(gall[..., start : start + h, None, None])
+                start += h
+
+        outputs = {}
+        for degree, (h, dh, scale, gate) in enumerate(
+            zip(heads, dim_head, scales, gates)
+        ):
+            q = queries[degree]  # [G, A, h*dh, m]
+            kv = keyvalues[degree]  # [G, A, K, 2*h*dh, m]
+            ga = q.shape[:2]
+            m = q.shape[-1]
+            K = kv.shape[2]
+            kv = kv.reshape(ga + (K, h, 2 * dh, m))
+            k, v = kv[..., :dh, :], kv[..., dh:, :]
+            q = q.reshape(ga + (h, dh, m))
+            # q [G,A,h,dh,m] vs k [G,A,K,h,dh,m]
+            d2 = q[:, :, None] - k  # [G, A, K, h, dh, m]
+            if degree == 0:
+                # degree 0: single L2 over the channel dim (`:709-716`)
+                sim = -jnp.sqrt(jnp.sum(d2 * d2, axis=(-2, -1)) + 1e-12) * scale
+            else:
+                # higher degrees: L2 over m per channel, summed over channels
+                dist = jnp.sqrt(jnp.sum(d2 * d2, axis=-1) + 1e-12)
+                sim = -jnp.sum(dist, axis=-1) * scale  # [G, A, K, h]
+            sim = jnp.where(nbr_mask[..., None], sim, -1e9)
+            attn = jax.nn.softmax(sim, axis=2)
+            out = jnp.einsum("gakh,gakhdm->gahdm", attn, v)
+            if gate is not None:
+                out = out * gate
+            outputs[degree] = out.reshape(ga + (h * dh, m))
+
+        return FiberLinear(
+            hidden_fiber, self.fiber, init_zero=self.init_out_zero, name="to_out"
+        )(outputs)
+
+
 class Equiformer(nn.Module):
     """Trunk (`equiformer_layer.py:960-1398`), dense per-molecule layout.
 
@@ -384,6 +469,7 @@ class Equiformer(nn.Module):
     embedding_grad_frac: float = 0.5
     ff_include_htype_norms: bool = False
     gate_attn_head_outputs: bool = True
+    l2_dist_attention: bool = False  # reference default True; model config False
 
     @nn.compact
     def __call__(
@@ -427,8 +513,9 @@ class Equiformer(nn.Module):
             name="tp_in",
         )(x, nbr_idx, nbr_mask, rel_dist, sh)
 
+        attn_cls = L2DistAttention if self.l2_dist_attention else MLPAttention
         for i in range(self.depth):
-            attn = MLPAttention(
+            attn = attn_cls(
                 self.dim,
                 dim_head=self.dim_head,
                 heads=self.heads,

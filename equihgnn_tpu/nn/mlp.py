@@ -168,6 +168,19 @@ class MLP(nn.Module):
         return TorchLinear(self.out_channels, name=f"lin_{self.num_layers - 1}")(x)
 
 
+def mlp_flops(in_channels: int, hidden: int, out: int, num_layers: int,
+              num_samples: int) -> int:
+    """FLOPs estimate matching the reference's `MLP.flops`
+    (`reference equihgnn/models/layers/mlp.py:101-118`)."""
+    flops = num_samples * in_channels  # input normalization
+    flops += num_samples * in_channels * hidden
+    flops += num_samples * hidden  # first relu
+    per_layer = num_samples * hidden * hidden + num_samples * hidden
+    flops += per_layer * max(num_layers - 2, 0)
+    flops += num_samples * out * hidden
+    return flops
+
+
 class PlainMLP(nn.Module):
     """Norm-free variant (`reference equihgnn/models/layers/mlp.py:121-153`)."""
 

@@ -92,6 +92,7 @@ class Trainer:
             get_data_mesh(cfg.num_devices) if cfg.data_parallel else None
         )
 
+        self._comet = self._maybe_comet()
         rng = jax.random.PRNGKey(cfg.seed)
         ex = jax.tree.map(jnp.asarray, example_batch)
         variables = model.init(rng, ex, deterministic=True)
@@ -312,7 +313,30 @@ class Trainer:
         return metrics
 
     # ------------------------------------------------------------- utilities
+    def _maybe_comet(self):
+        """Comet experiment when COMET_API_KEY is set and comet_ml installed
+        (reference logs to project "Geometric Molecular Hypergraph",
+        `reference main.py:246-253`); silently disabled otherwise."""
+        if not os.environ.get("COMET_API_KEY"):
+            return None
+        try:  # pragma: no cover - optional dependency
+            import comet_ml
+
+            return comet_ml.Experiment(
+                api_key=os.environ["COMET_API_KEY"],
+                project_name="Geometric Molecular Hypergraph",
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[trainer] comet logging disabled: {e}")
+            return None
+
     def _log_csv(self, metrics: dict):
+        if self._comet is not None:  # pragma: no cover - optional dependency
+            step = metrics.get("epoch")
+            self._comet.log_metrics(
+                {k: v for k, v in metrics.items() if isinstance(v, (int, float))},
+                epoch=step,
+            )
         if not self.cfg.log_dir:
             return
         os.makedirs(self.cfg.log_dir, exist_ok=True)
