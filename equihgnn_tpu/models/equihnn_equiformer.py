@@ -33,7 +33,8 @@ class EquiformerEquiHNNS(nn.Module):
             )
         h = cfg.mlp_hidden
         x = AtomEncoder(h, name="atom_encoder")(batch.atom_feat)
-        x, _type1 = Equiformer(
+        eq_cls = nn.remat(Equiformer) if cfg.remat else Equiformer
+        x, _type1 = eq_cls(
             dim=(h, h),
             dim_in=(h,),
             heads=1,

@@ -37,7 +37,7 @@ class _FAFormerBase(nn.Module):
 
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
         x, pos = cast_compute(cfg, x, batch.pos)
-        x, _ = FAFormer(
+        fa = FAFormer(
             d_input=cfg.mlp_hidden,
             d_model=cfg.mlp_hidden,
             d_edge_model=cfg.mlp_hidden,
@@ -47,15 +47,19 @@ class _FAFormerBase(nn.Module):
             valid_radius=5.0,
             activation="swiglu",
             name="fa_former",
-        )(
-            x,
-            pos,
-            batch.atom_graph_id,
-            batch.slot_index,
-            batch.slot_mask,
-            batch.atom_slot,
-            deterministic=deterministic,
         )
+        args = (
+            x, pos, batch.atom_graph_id, batch.slot_index, batch.slot_mask,
+            batch.atom_slot,
+        )
+        if cfg.remat:
+            # close over `deterministic` so it stays a static Python bool
+            def fwd(mdl, *a):
+                return mdl(*a, deterministic=deterministic)
+
+            x, _ = nn.remat(fwd)(fa, *args)
+        else:
+            x, _ = fa(*args, deterministic=deterministic)
         return x
 
 

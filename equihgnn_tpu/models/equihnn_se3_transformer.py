@@ -32,7 +32,8 @@ class SE3TransformerEquiHNNS(nn.Module):
                 "per-molecule view: build batches with with_pos=True"
             )
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
-        x = SE3Transformer(
+        se3_cls = nn.remat(SE3Transformer) if cfg.remat else SE3Transformer
+        x = se3_cls(
             dim=cfg.mlp_hidden,
             heads=2,
             depth=2,

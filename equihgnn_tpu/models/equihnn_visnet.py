@@ -28,7 +28,8 @@ class _ViSNetBase(nn.Module):
                 "visnet_equihnn* models need 3-D coordinates and the dense "
                 "per-molecule view: build batches with with_pos=True"
             )
-        return ViSNet(
+        visnet_cls = nn.remat(ViSNet) if cfg.remat else ViSNet
+        return visnet_cls(
             hidden_channels=cfg.mlp_hidden,
             lmax=2,
             max_num_neighbors=16,
