@@ -172,10 +172,20 @@ def mol_to_hypergraph(mol, y=None, pos=None, z=None) -> HyperGraphSample | None:
             e_idx += [g + num_bond for g in he_e]
             hedge_feat += len(set(he_e)) * [CONJ_HEDGE_TYPE]
 
+    vertex_idx = np.asarray(n_idx, dtype=np.int64)
+    hedge_idx = np.asarray(e_idx, dtype=np.int64)
+    # Stably sort incidence by hyperedge id: RDKit conjugated-group ids are
+    # assigned in discovery order, not atom order, so the conj tail of e_idx
+    # can be non-monotonic. Downstream the hyperedge-direction reduction
+    # assumes sorted ids (Pallas sorted-segment kernel fast path); scatter
+    # results are permutation-invariant, so sorting here is semantics-free.
+    order = np.argsort(hedge_idx, kind="stable")
+    vertex_idx, hedge_idx = vertex_idx[order], hedge_idx[order]
+
     return HyperGraphSample(
         atom_feat=atom_feat,
-        vertex_idx=np.asarray(n_idx, dtype=np.int64),
-        hedge_idx=np.asarray(e_idx, dtype=np.int64),
+        vertex_idx=vertex_idx,
+        hedge_idx=hedge_idx,
         hedge_feat=np.asarray(hedge_feat, dtype=np.int64),
         y=np.asarray(y, dtype=np.float32) if y is not None else np.zeros(1, np.float32),
         pos=None if pos is None else np.asarray(pos, dtype=np.float32),

@@ -60,19 +60,24 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def sorted_segment_sum(data, segment_ids, num_segments: int):
-    """segment_sum for sorted int32 `segment_ids`; returns [num_segments, D].
+    """segment_sum for (nominally) sorted int32 `segment_ids` → [num_segments, D].
 
-    Contract: within any block of BM consecutive rows, the id span
-    (ids[last] - ids[first]) must be < BM — rows violating it are dropped.
-    This holds whenever every segment in the covered range has ≥ 1 row on
-    average (true for hypergraph incidence: hyperedges have ≥ 2 members,
-    atoms ≥ 1); zero-data padding rows may jump arbitrarily (their
+    Kernel contract: within any block of BM consecutive rows, every id must
+    lie in the window [ids[block_start], ids[block_start] + BM). This holds
+    whenever ids are sorted and every segment in the covered range has ≥ 1
+    row on average (true for hypergraph incidence: hyperedges have ≥ 2
+    members, atoms ≥ 1); zero-data padding rows may jump arbitrarily (their
     contribution is zero either way).
+
+    The contract is CHECKED at runtime on the real (unpadded) rows; on
+    violation the call falls back to the XLA scatter path via `lax.cond`,
+    so callers always get exact results — unsorted ids cost speed, never
+    correctness.
     """
     return _forward(data, segment_ids, num_segments)
 
 
-def _forward(data, segment_ids, num_segments: int):
+def _pallas_forward(data, segment_ids, num_segments: int):
     m, d = data.shape
     mp, dp = _round_up(m, BM), _round_up(d, BD)
     sp = _round_up(num_segments, BM) + BM  # overhang pad
@@ -99,8 +104,32 @@ def _forward(data, segment_ids, num_segments: int):
             out_specs=pl.BlockSpec((sp, BD), lambda dd, mm, base: (0, dd)),
         ),
         out_shape=jax.ShapeDtypeStruct((sp, dp), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
     )(base, ids2d, x.astype(jnp.float32))
     return out[:num_segments, :d].astype(data.dtype)
+
+
+def _contract_ok(segment_ids):
+    """True iff every real row's id is inside its block's [base, base+BM) window."""
+    m = segment_ids.shape[0]
+    mp = _round_up(m, BM)
+    ids = jnp.zeros((mp,), jnp.int32).at[:m].set(segment_ids.astype(jnp.int32))
+    ids2d = ids.reshape(mp // BM, BM)
+    local = ids2d - ids2d[:, :1]
+    ok = (local >= 0) & (local < BM)
+    return jnp.all(ok.reshape(-1)[:m])
+
+
+def _forward(data, segment_ids, num_segments: int):
+    return jax.lax.cond(
+        _contract_ok(segment_ids),
+        lambda d, i: _pallas_forward(d, i, num_segments),
+        # fallback must not assert sortedness (indices_are_sorted is a
+        # correctness-critical hint to the scatter lowering)
+        lambda d, i: jax.ops.segment_sum(d, i, num_segments=num_segments),
+        data,
+        segment_ids,
+    )
 
 
 def _fwd(data, segment_ids, num_segments: int):

@@ -5,8 +5,8 @@ calls (the hypergraph message-passing hot op, `reference
 equihgnn/models/layers/conv.py:91-97,173-177`). All shapes are static; padding
 is expressed with a mask and padded entries contribute zero. XLA lowers
 `jax.ops.segment_sum` to a sorted-scatter that fuses with the surrounding
-elementwise ops; for MXU-bound formulations see
-`equihgnn_tpu/ops/pallas/segment_matmul.py`.
+elementwise ops; for the MXU-bound sorted formulation see
+`equihgnn_tpu/ops/pallas/segment_sum.py`.
 
 Semantics parity notes:
   * `reduce="mean"` divides by the member count and returns 0 for empty
