@@ -141,8 +141,10 @@ def pad_hypergraph_batch(
     slot_index = np.zeros((n_rows, A), dtype=np.int32) if A else None
     slot_mask = np.zeros((n_rows, A), dtype=bool) if A else None
     slot_gid = np.full((n_rows, A), -1, dtype=np.int32) if A else None
+    # padded atoms point at the padding row (matches the native packer, which
+    # leaves them at atom_graph_id = pad_gid); never at molecule 0's slots
     atom_slot = np.zeros((N,), dtype=np.int32) if A else None
-    atom_row = np.zeros((N,), dtype=np.int32) if A else None
+    atom_row = np.full((N,), n_rows - 1, dtype=np.int32) if A else None
 
     a0 = e0 = z0 = 0
     for g, s in enumerate(samples):

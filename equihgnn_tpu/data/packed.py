@@ -145,7 +145,12 @@ def pack_batch(
     members = np.ascontiguousarray(members, dtype=np.int64)
 
     n_targets = packed.y.shape[1] if packed.y.ndim == 2 else 1
-    tgt = -1 if (target is None and n_targets == 1) else int(target or 0)
+    if target is None and n_targets > 1:
+        raise ValueError(
+            f"target=None with {n_targets} target columns — select one "
+            "(the Python path errors here too; no silent column-0 default)"
+        )
+    tgt = -1 if target is None else int(target)
 
     null32 = ctypes.POINTER(i32)()
     nullf = ctypes.POINTER(f32)()
