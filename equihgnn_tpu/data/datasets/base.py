@@ -81,6 +81,8 @@ class MolDataset:
             flat["pos"] = np.concatenate([s.pos for s in samples], axis=0)
         if samples and samples[0].z is not None:
             flat["z"] = np.concatenate([s.z for s in samples], axis=0)
+        if samples and samples[0].smi is not None:
+            flat["smi"] = np.asarray([s.smi for s in samples], dtype=np.str_)
         np.savez_compressed(path + ".tmp.npz", **flat)
         os.replace(path + ".tmp.npz", path)
 
@@ -94,24 +96,26 @@ class MolDataset:
         y = data["y"]
         pos = data["pos"] if "pos" in data else None
         z = data["z"] if "z" in data else None
+        smi = data["smi"] if "smi" in data else None
         out = []
         for i in range(n):
             sl = lambda k: arrs[k][offs[k][i] : offs[k][i + 1]]
             a0, a1 = offs["af"][i], offs["af"][i + 1]
             p = pos[a0:a1] if pos is not None else None
             zz = z[a0:a1] if z is not None else None
+            sm = str(smi[i]) if smi is not None else None
             if hyper:
                 out.append(
                     HyperGraphSample(
                         atom_feat=sl("af"), vertex_idx=sl("vi"), hedge_idx=sl("hi"),
-                        hedge_feat=sl("hf"), y=y[i], pos=p, z=zz,
+                        hedge_feat=sl("hf"), y=y[i], pos=p, z=zz, smi=sm,
                     )
                 )
             else:
                 out.append(
                     GraphSample(
                         atom_feat=sl("af"), edge_src=sl("es"), edge_dst=sl("ed"),
-                        edge_feat=sl("ef"), y=y[i], pos=p, z=zz,
+                        edge_feat=sl("ef"), y=y[i], pos=p, z=zz, smi=sm,
                     )
                 )
         return out
