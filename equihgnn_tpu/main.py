@@ -83,10 +83,15 @@ GRAPH_METHODS = ("gin", "gcn", "gat", "gatv2")
 
 
 def run(args) -> dict:
-    if getattr(args, "platform", None):
+    # --platform flag, or EQUIHGNN_TPU_PLATFORM env (lets the smoke scripts
+    # run on CPU in CI without editing their parity-mirroring arg lists)
+    platform = getattr(args, "platform", None) or os.environ.get(
+        "EQUIHGNN_TPU_PLATFORM"
+    )
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", platform)
 
     import equihgnn_tpu.data.datasets  # noqa: F401
     import equihgnn_tpu.models  # noqa: F401

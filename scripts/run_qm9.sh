@@ -17,7 +17,6 @@ python -u -m equihgnn_tpu.main \
     --aggregate mean \
     --lr 0.0001 \
     --wd 0 \
-    --clip_gnorm 5.0 \
     --dropout 0.0 \
     --batch_size 768 \
     --epochs 400 

@@ -10,7 +10,7 @@ python -u -m equihgnn_tpu.main \
     --runs 1 \
     --target $TASK \
     --MLP_hidden 256 --output_hidden 128 --output_num_layers 3 \
-    --aggregate mean --lr 0.0001 --wd 0 --clip_gnorm 5.0 \
+    --aggregate mean --lr 0.0001 --wd 0 \
     --batch_size 8 \
     --epochs 400 \
     --debug 
