@@ -1,51 +1,50 @@
-"""Benchmark: flagship training throughput on the real TPU chip.
+"""Benchmark: training throughput on the real TPU chip.
 
-Measures molecules/sec/chip for a jitted `egnn_equihnns` training step at the
-reference benchmark recipe (hidden 256, 3 conv layers, output hidden 128,
-batch 768, mean aggregation — `reference scripts/run_qm9_3d.sh:11-31`) on
-QM9-like synthetic molecules (RDKit/network are unavailable in this image;
-shapes and sparsity match QM9 with explicit H).
+Default: flagship `egnn_equihnns` at the reference benchmark recipe (hidden
+256, 3 conv layers, output hidden 128, batch 768, mean aggregation —
+`reference scripts/run_qm9_3d.sh:11-31`) on QM9-like synthetic molecules
+(RDKit/network are unavailable in this image; shapes and sparsity match QM9
+with explicit H). Prints ONE JSON line {"metric","value","unit","vs_baseline"}
+as the LAST stdout line (driver contract).
+
+`python bench.py --all` additionally benches every geometric-encoder hybrid
+(egnn / equiformer / se3_transformer / visnet / faformer) plus the mhnns
+trunk, estimates MFU from XLA's compiled cost analysis, and writes the table
+to BENCH_ENCODERS.json.
 
 Measurement notes for the axon-tunneled TPU: eager (non-jit) ops cost ~100 s
 each (per-op remote compile) and `block_until_ready` does not synchronize —
 so everything here is jitted, molecule counts come from host numpy, and
 timing brackets chained steps with a single scalar fetch (a true sync).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against BENCH_BASELINE.json if present (committed from
-a previous round), else 1.0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+BATCH = 768
+HIDDEN = 256
+# TPU v5e ("v5 lite"): 197 TFLOP/s bf16 / 98.5 TFLOP/s fp32-via-bf16x3.
+# XLA's cost analysis reports algebraic flops; we rate against bf16 peak.
+PEAK_FLOPS = 197e12
 
-def main():
+
+def _make_batches(pack_slots: bool):
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from equihgnn_tpu import create_model
-    from equihgnn_tpu.data.batching import iter_batches, spec_for_samples
+    from equihgnn_tpu.data.batching import pad_hypergraph_batch, spec_for_samples
     from equihgnn_tpu.data.synthetic import make_synthetic_dataset
-    from equihgnn_tpu.models.config import ModelConfig
-
-    BATCH = 768
-    HIDDEN = 256
 
     samples = make_synthetic_dataset(2 * BATCH, seed=0, num_targets=1)
     for s in samples:
         s.y = np.float32((s.n_atoms - 16.0) / 8.0)
     spec = spec_for_samples(samples, batch_size=BATCH)
-    # packed slot rows: ~25% faster than per-molecule rows (same numerics,
-    # see tests/test_packed_rows.py)
-    from equihgnn_tpu.data.batching import pad_hypergraph_batch
-
     groups, g, na, ne, nz = [], [], 0, 0, 0
     for s in samples:
         if (len(g) >= spec.max_real_graphs or na + s.n_atoms > spec.num_atoms
@@ -55,11 +54,26 @@ def main():
     if g:
         groups.append(g)
     host_batches = [
-        pad_hypergraph_batch(gr, spec, with_pos=True, pack_slots=True)
+        pad_hypergraph_batch(gr, spec, with_pos=True, pack_slots=pack_slots)
         for gr in groups
     ]
-    mols_per_batch = [int(b.graph_mask.sum()) for b in host_batches]
-    batches = [jax.tree.map(jnp.asarray, b) for b in host_batches]
+    mols = [int(b.graph_mask.sum()) for b in host_batches]
+    return [jax.tree.map(jnp.asarray, b) for b in host_batches], mols
+
+
+def bench_method(method: str, epochs: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.models.config import ModelConfig
+
+    # packed slot rows: ~25% faster than per-molecule rows (same numerics,
+    # tests/test_packed_rows.py); faformer's frame averaging needs
+    # per-molecule rows (DECISIONS.md)
+    pack_slots = not method.startswith("faformer")
+    batches, mols_per_batch = _make_batches(pack_slots)
 
     cfg = ModelConfig(
         mlp_hidden=HIDDEN,
@@ -69,7 +83,7 @@ def main():
         aggregate="mean",
         normalization="ln",
     )
-    model = create_model("egnn_equihnns", num_target=1, cfg=cfg)
+    model = create_model(method, num_target=1, cfg=cfg)
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, deterministic=True)
     )(batches[0])
@@ -96,9 +110,18 @@ def main():
         params, opt_state, l = step(params, opt_state, b, rng)
     float(l)
 
+    flops_per_step = None
+    try:
+        cost = step.lower(params, opt_state, batches[0], rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     n_steps, n_mols = 0, 0
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(epochs):
         for b, m in zip(batches, mols_per_batch):
             params, opt_state, l = step(params, opt_state, b, rng)
             n_steps += 1
@@ -106,19 +129,49 @@ def main():
     float(l)  # single true sync at the end
     dt = time.perf_counter() - t0
 
-    mols_per_sec = n_mols / dt
+    out = {
+        "method": method,
+        "molecules_per_sec_per_chip": round(n_mols / dt, 1),
+        "step_time_ms": round(1e3 * dt / n_steps, 3),
+    }
+    if flops_per_step:
+        out["tflops_per_step"] = round(flops_per_step / 1e12, 4)
+        out["mfu_pct"] = round(
+            100.0 * flops_per_step * n_steps / dt / PEAK_FLOPS, 2
+        )
+    return out
+
+
+def main():
+    run_all = "--all" in sys.argv
+    methods = (
+        ["egnn_equihnns", "equiformer_equihnns", "se3_transformer_equihnns",
+         "visnet_equihnns", "faformer_equihnns", "mhnns"]
+        if run_all
+        else ["egnn_equihnns"]
+    )
+    results = {}
+    for m in methods:
+        r = bench_method(m)
+        results[m] = r
+        print(json.dumps(r), file=sys.stderr)
+
+    if run_all:
+        with open("BENCH_ENCODERS.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    flagship = results["egnn_equihnns"]["molecules_per_sec_per_chip"]
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         with open("BENCH_BASELINE.json") as f:
             baseline = json.load(f).get("value")
-    vs = mols_per_sec / baseline if baseline else 1.0
     print(
         json.dumps(
             {
                 "metric": "qm9_synthetic_train_molecules_per_sec_per_chip",
-                "value": round(mols_per_sec, 1),
+                "value": flagship,
                 "unit": "molecules/sec/chip",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": round(flagship / baseline, 3) if baseline else 1.0,
             }
         )
     )

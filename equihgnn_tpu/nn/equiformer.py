@@ -125,11 +125,10 @@ class FiberGate(nn.Module):
         return out
 
 
-class Radial(nn.Module):
-    """Edge-scalar → channel-mixing matrix (`equiformer_layer.py:451-479`)."""
+class RadialTrunk(nn.Module):
+    """Edge-scalar → radial hidden h (`equiformer_layer.py:451-479` minus the
+    final projection, which `DTP` applies in factorized form — see below)."""
 
-    nc_in: int
-    nc_out: int
     hidden: int = 64
 
     @nn.compact
@@ -139,13 +138,42 @@ class Radial(nn.Module):
         h = ln("ln0")(nn.silu(h))
         h = TorchLinear(self.hidden, name="lin1")(h)
         h = ln("ln1")(nn.silu(h))
-        h = TorchLinear(self.nc_in * self.nc_out, name="lin2")(h)
-        return h.reshape(h.shape[:-1] + (self.nc_out, self.nc_in))
+        return h
+
+
+def _radial_out_params(mdl, name, f, nc_out, nc_in):
+    """Final Radial projection W [f, o, i], b [o, i] (torch Linear init,
+    fan_in = f) — applied factorized instead of materializing the per-edge
+    channel-mixing matrix R = W·h + b of the reference."""
+    bound = 1.0 / sqrt(f)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    W = mdl.param(f"{name}_W", init, (f, nc_out, nc_in))
+    b = mdl.param(f"{name}_b", init, (nc_out, nc_in))
+    return W, b
 
 
 class DTP(nn.Module):
     """Depthwise tensor product over neighbors (`equiformer_layer.py:260-448`),
-    direct CG×SH formulation (see module docstring)."""
+    direct CG×SH formulation (see module docstring).
+
+    TPU memory/FLOP redesign of the Radial application (exact, not an
+    approximation): the reference materializes a full per-edge channel-mixing
+    matrix R(dist) = W·h + b of size nc_out × nc_in — at fiber (256,)→(256,)
+    that is a [E, 65536] tensor (tens of GB at batch 768) and touching all
+    f·o·i weights per edge costs petaFLOPs. Instead:
+
+      * pool=True: the neighbor mean commutes with the linear W, so
+        mean_k (W·h_k + b)·t_k = W·(mean_k h_k ⊗ t_k) + b·(mean_k t_k)
+        — contract the f=radial-hidden dim against neighbors first
+        (M[n,f,i,c] = Σ_k h[k,f]·t[k,i,c]), then apply W once per NODE.
+        ~15× fewer FLOPs and O(E·f·i) memory instead of O(E·o·i).
+      * pool=False: apply W to t before contracting h
+        (y[e,f,o,c] = Σ_i W[f,o,i]·t[e,i,c]; out = Σ_f h[e,f]·y) so the
+        per-edge intermediate is f·o·c (≤ a few k) instead of o·i (65k).
+    """
 
     fiber_in: Fiber
     fiber_out: Fiber
@@ -167,12 +195,18 @@ class DTP(nn.Module):
         g, a, k = nbr_idx.shape
         gar = jnp.arange(g)[:, None, None]
         n_in = len(self.fiber_in)
+        f = self.radial_hidden_dim
+        inc_mask = nbr_mask[..., None, None]  # [G, A, k, 1, 1]
 
         if self.project_xi_xj:
             xi = FiberLinear(self.fiber_in, self.fiber_in, name="to_xi")(inp)
             xj = FiberLinear(self.fiber_in, self.fiber_in, name="to_xj")(inp)
         else:
             xi = xj = inp
+
+        cnt = jnp.maximum(
+            jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
+        )[..., None, None]  # [G, A, 1, 1]
 
         outputs = {}
         for dout, dim_out in enumerate(self.fiber_out):
@@ -188,14 +222,30 @@ class DTP(nn.Module):
                     Q = jnp.asarray(_cg(din, J, dout))  # [2din+1, 2J+1, 2dout+1]
                     term = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
                     t = term if t is None else t + term
-                R = Radial(
-                    dim_in, nc_out, self.radial_hidden_dim,
-                    name=f"radial_{din}_{dout}",
-                )(rel_dist)  # [G, A, k, nc_out, dim_in]
-                chunks.append(jnp.einsum("...oi,...ic->...oc", R, t))
+                h = RadialTrunk(f, name=f"radial_{din}_{dout}")(rel_dist)
+                W, b = _radial_out_params(
+                    self, f"radial_{din}_{dout}_out", f, nc_out, dim_in
+                )
+                t = jnp.where(inc_mask, t, 0.0)
+                h = jnp.where(nbr_mask[..., None], h, 0.0)
+                if self.pool:
+                    # neighbor mean first, W once per node (see class doc)
+                    M = jnp.einsum("gakf,gakic->gafic", h, t)
+                    tbar = jnp.sum(t, axis=2)  # [G, A, i, c]
+                    out = (
+                        jnp.einsum("foi,gafic->gaoc", W, M)
+                        + jnp.einsum("oi,gaic->gaoc", b, tbar)
+                    ) / cnt
+                else:
+                    y = jnp.einsum("foi,gakic->gakfoc", W, t)
+                    out = jnp.einsum("gakf,gakfoc->gakoc", h, y)
+                    out = out + jnp.einsum("oi,gakic->gakoc", b, t)
+                chunks.append(out)
             outputs[dout] = jnp.concatenate(chunks, axis=-2)
 
         if self.project_out:
+            # linear per degree, so it commutes with the masked mean — applying
+            # it post-pool is exact and touches [G,A,·] instead of [G,A,k,·]
             outputs = FiberLinear(self.fiber_out, self.fiber_out, name="to_out")(
                 outputs
             )
@@ -206,11 +256,7 @@ class DTP(nn.Module):
         )
 
         if self.pool:
-            m = nbr_mask[..., None, None].astype(outputs[0].dtype)
-            cnt = jnp.maximum(jnp.sum(m, axis=2), 1.0)
-            outputs = {
-                d: jnp.sum(t * m, axis=2) / cnt for d, t in outputs.items()
-            }
+            # outputs were pooled inside the degree loop (factorized path)
             if self_out is not None:
                 # residual_fn semantics: add only degrees the self branch has
                 outputs = {
