@@ -93,12 +93,10 @@ class NormSE3(nn.Module):
         return out
 
 
-class RadialFunc(nn.Module):
-    """Per-frequency radial profile (`se3_transformer_layer.py:311-336`)."""
+class RadialTrunkSE3(nn.Module):
+    """Radial hidden (`se3_transformer_layer.py:311-336` minus the final
+    projection, which `ConvSE3` applies in factorized form — see below)."""
 
-    num_freq: int
-    nc_in: int
-    nc_out: int
     mid_dim: int = 128
 
     @nn.compact
@@ -107,17 +105,56 @@ class RadialFunc(nn.Module):
         h = nn.gelu(nn.LayerNorm(name="ln0")(h))
         h = TorchLinear(self.mid_dim, name="lin1")(h)
         h = nn.gelu(nn.LayerNorm(name="ln1")(h))
-        h = TorchLinear(self.num_freq * self.nc_in * self.nc_out, name="lin2")(h)
-        return h.reshape(h.shape[:-1] + (self.nc_out, self.nc_in, self.num_freq))
+        return h
+
+
+def _radial_proj_params(mdl, name, f, nc_out, nc_in, num_freq):
+    """Final RadialFunc projection W [f, o, i, J], b [o, i, J] (torch Linear
+    init, fan_in = f) — never materialized as a per-edge matrix."""
+    bound = 1.0 / sqrt(f)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    W = mdl.param(f"{name}_W", init, (f, nc_out, nc_in, num_freq))
+    b = mdl.param(f"{name}_b", init, (nc_out, nc_in, num_freq))
+    return W, b
+
+
+def _dense_h(h, nbr_idx, nbr_mask):
+    """Scatter per-edge radial hiddens into the dense neighbor matrix:
+    hd[g,i,j,f] = Σ_k 1[nbr(i,k)=j]·h[g,i,k,f] — exact because kNN neighbor
+    lists contain each j at most once. A one-hot MXU matmul, no gathers."""
+    g, a, k, f = h.shape
+    onehot = (
+        (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
+        & nbr_mask[..., None]
+    ).astype(h.dtype)
+    return jnp.einsum("gikj,gikf->gijf", onehot, h)
 
 
 class ConvSE3(nn.Module):
-    """TFN convolution (`se3_transformer_layer.py:187-308`), direct CG×SH."""
+    """TFN convolution (`se3_transformer_layer.py:187-308`), direct CG×SH.
+
+    TPU memory/FLOP redesign (exact, mirrors `equihgnn_tpu/nn/equiformer.py`):
+    the reference materializes the per-edge kernel matrix R(dist) [o, i, J]
+    — tens of GB and petaFLOPs at fiber 256 / batch 768. Instead, with
+    R_J = W_J·h + b_J (h = radial hidden, f=128):
+
+      * pool=True: the neighbor mean commutes with W_J — contract h against
+        neighbors first (M_J[n,f,i,c] = Σ_k h[k,f]·t_J[k,i,c]), then apply
+        W_J once per node.
+      * pool=False: apply W_J to the NODE features first
+        (u_J[n,f,o,a] = Σ_i W_J[f,o,i]·x[n,i,a] — N-side, 16× fewer sites
+        than edges), gather u at neighbors and contract with h per edge in
+        k-chunks, then CG×SH.
+    """
 
     fiber_in: Fiber
     fiber_out: Fiber
     self_interaction: bool = True
     pool: bool = True
+    radial_mid_dim: int = 128
 
     @nn.compact
     def __call__(
@@ -130,38 +167,83 @@ class ConvSE3(nn.Module):
     ) -> dict:
         g, a, k = nbr_idx.shape
         gar = jnp.arange(g)[:, None, None]
+        f = self.radial_mid_dim
+        inc = nbr_mask[..., None, None]
+
+        cnt = jnp.maximum(
+            jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
+        )[..., None, None]
 
         outputs = {}
         for dout, nc_out in enumerate(self.fiber_out):
             acc = None
             for din, nc_in in enumerate(self.fiber_in):
-                x = inp[din][gar, nbr_idx]  # [G, A, k, nc_in, 2din+1]
                 js = list(range(abs(din - dout), din + dout + 1))
-                R = RadialFunc(
-                    len(js), nc_in, nc_out, name=f"radial_{din}_{dout}"
-                )(rel_dist)  # [G, A, k, nc_out, nc_in, nJ]
-                term = None
-                for jidx, J in enumerate(js):
-                    Q = jnp.asarray(_cg(din, J, dout))
-                    tj = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
-                    rj = R[..., jidx]  # [G, A, k, nc_out, nc_in]
-                    contrib = jnp.einsum("...oi,...ic->...oc", rj, tj)
-                    term = contrib if term is None else term + contrib
-                acc = term if acc is None else acc + term
-            outputs[dout] = acc  # [G, A, k, nc_out, 2dout+1]
-
-        if self.pool:
-            m = nbr_mask[..., None, None].astype(outputs[0].dtype)
-            cnt = jnp.maximum(jnp.sum(m, axis=2), 1.0)
-            outputs = {d: jnp.sum(t * m, axis=2) / cnt for d, t in outputs.items()}
-            if self.self_interaction:
-                si = LinearSE3(self.fiber_in, self.fiber_out, name="self_interact")(
-                    inp
+                h = RadialTrunkSE3(f, name=f"radial_{din}_{dout}")(rel_dist)
+                h = jnp.where(nbr_mask[..., None], h, 0.0)  # [G, A, k, f]
+                W, b = _radial_proj_params(
+                    self, f"radial_{din}_{dout}_out", f, nc_out, nc_in, len(js)
                 )
-                outputs = {
-                    d: outputs[d] + si[d] if d in si else outputs[d]
-                    for d in outputs
-                }
+                xn = inp[din]  # [G, A, nc_in, 2din+1]
+                n_b = xn.shape[-1]
+                term = None
+                if self.pool:
+                    # per-(J, c) checkpoint: each unit's M[·, f, i] temp
+                    # (~GBs at fiber 256) lives alone and is recomputed in
+                    # backward instead of coexisting across J/c
+                    @jax.checkpoint
+                    def one_pooled(Wj, bj, Qc, shj, h=h, xn=xn):
+                        xg = jnp.where(inc, xn[gar, nbr_idx], 0.0)
+                        tc = jnp.einsum("bm,gakib,gakm->gaki", Qc, xg, shj)
+                        M = jnp.einsum("gakf,gaki->gafi", h, tc)
+                        return jnp.einsum("foi,gafi->gao", Wj, M) + jnp.einsum(
+                            "oi,gai->gao", bj, jnp.sum(tc, axis=2)
+                        )
+
+                    for jidx, J in enumerate(js):
+                        Q = jnp.asarray(_cg(din, J, dout))
+                        cs = [
+                            one_pooled(W[..., jidx], b[..., jidx], Q[:, :, c], sh[J])
+                            for c in range(Q.shape[2])
+                        ]
+                        contrib = jnp.stack(cs, axis=-1) / cnt
+                        term = contrib if term is None else term + contrib
+                else:
+                    hd = _dense_h(h, nbr_idx, nbr_mask)  # [G, A, A, f]
+
+                    # per-(J, b) checkpoint: u/v_dense temps live one at a
+                    # time and are recomputed in backward
+                    @jax.checkpoint
+                    def one_jb(Wj, bj, Qb, shj, xb, hd=hd):
+                        u = jnp.einsum("foi,gji->gjfo", Wj, xb)
+                        v_dense = jnp.einsum("gijf,gjfo->gijo", hd, u)
+                        vk = jnp.take_along_axis(
+                            v_dense, nbr_idx[..., None], axis=2
+                        )  # [G, A, k, o]
+                        ub = jnp.einsum("oi,gji->gjo", bj, xb)
+                        vk = vk + ub[gar, nbr_idx]
+                        return jnp.einsum("mc,gako,gakm->gakoc", Qb, vk, shj)
+
+                    for jidx, J in enumerate(js):
+                        Q = jnp.asarray(_cg(din, J, dout))
+                        for bi in range(n_b):
+                            contrib = one_jb(
+                                W[..., jidx], b[..., jidx], Q[bi], sh[J],
+                                xn[..., bi],
+                            )
+                            term = contrib if term is None else term + contrib
+                    term = jnp.where(inc, term, 0.0)
+                acc = term if acc is None else acc + term
+            outputs[dout] = acc  # pooled: [G,A,o,c]; else [G,A,k,o,c]
+
+        if self.pool and self.self_interaction:
+            si = LinearSE3(self.fiber_in, self.fiber_out, name="self_interact")(
+                inp
+            )
+            outputs = {
+                d: outputs[d] + si[d] if d in si else outputs[d]
+                for d in outputs
+            }
         return outputs
 
 
@@ -288,15 +370,21 @@ class SE3Transformer(nn.Module):
         max_j = 2 * (self.num_degrees - 1)
         sh = spherical_harmonics(max_j, rel_pos)
 
+        # per-block remat: backward recomputes one block's per-edge tensors
+        # at a time instead of saving every block's (OOM at batch 768 on a
+        # 16 GB chip)
+        conv_cls = nn.remat(ConvSE3)
+        attn_cls = nn.remat(AttentionSE3)
+
         x = {0: fd[..., None]}
-        x = ConvSE3(fiber_in, fiber_hidden, name="conv_in")(
+        x = conv_cls(fiber_in, fiber_hidden, name="conv_in")(
             x, nbr_idx, nbr_mask, rel_dist, sh
         )
 
         for i in range(self.depth):
             res = x
             out = NormSE3(fiber_hidden, name=f"attn_prenorm_{i}")(x)
-            out = AttentionSE3(
+            out = attn_cls(
                 fiber_hidden,
                 dim_head=self.dim_head,
                 heads=self.heads,
@@ -309,7 +397,7 @@ class SE3Transformer(nn.Module):
             out = FeedForwardSE3(fiber_hidden, name=f"ff_{i}")(out)
             x = {d: out[d] + res[d] for d in out}
 
-        x = ConvSE3(fiber_hidden, fiber_out, name="conv_out")(
+        x = conv_cls(fiber_hidden, fiber_out, name="conv_out")(
             x, nbr_idx, nbr_mask, rel_dist, sh
         )
 

@@ -152,7 +152,16 @@ class VecLayerNorm(nn.Module):
 
 class ViS_MP(nn.Module):
     """Vector-scalar attention message passing (`visnet_layer.py:472-679`),
-    dense [G, A, k] edge layout."""
+    dense [G, A, k] edge layout.
+
+    TPU memory redesign (exact): the per-edge VECTOR tensors of the gather
+    formulation ([G,A,k,L,h] — several GB each at batch 768, h=256) are never
+    materialized. Vector aggregation goes through a one-hot neighbor matrix
+    (A×A matmuls on the MXU): Σ_k vec[j(k)]·s1[k] = Σ_j (Σ_k 1[j(k)=j] s1[k])
+    · vec[j]. The vector-rejection dot products expand algebraically:
+    (u−(u·d)d)·(v−(v·d)d) = u·v − (u·d)(v·d)(2−|d|²), needing only
+    [G,A,k,h]-sized per-edge tensors. Scalar messages keep the gather form.
+    """
 
     num_heads: int
     hidden_channels: int
@@ -194,10 +203,15 @@ class ViS_MP(nn.Module):
         vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
         vec_dot = jnp.sum(vec1 * vec2, axis=-2)  # [G, A, h]
 
-        # ---- message over neighbors
+        # one-hot neighbor matrix (masked): [G, A(i), k, A(j)]
+        onehot = (
+            (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
+            & nbr_mask[..., None]
+        ).astype(x.dtype)
+
+        # ---- message over neighbors (scalar gathers are cheap: [G,A,k,·,hd])
         k_j = kk[gar, nbr_idx]  # [G, A, k, nh, hd]
         v_j = v[gar, nbr_idx]
-        vec_j = vec[gar, nbr_idx]  # [G, A, k, L, h]
         attn = jnp.sum(q[:, :, None] * k_j * dk, axis=-1)  # [G, A, k, nh]
         attn = nn.silu(attn) * cosine_cutoff(r_ij, self.cutoff)[..., None]
         attn = jnp.where(nbr_mask[..., None], attn, 0.0)
@@ -205,12 +219,14 @@ class ViS_MP(nn.Module):
         v_j = (v_j * dv * attn[..., None]).reshape(g, a, k, h)
         s12 = nn.silu(_Proj(2 * h, name="s_proj")(v_j))
         s1, s2 = jnp.split(s12, 2, axis=-1)
-        dvec_j = vec_j * s1[..., None, :] + s2[..., None, :] * d_ij[..., None]
+        mk = nbr_mask[..., None].astype(x.dtype)
 
-        x_agg = jnp.sum(jnp.where(nbr_mask[..., None], v_j, 0.0), axis=2)  # [G, A, h]
-        vec_agg = jnp.sum(
-            jnp.where(nbr_mask[..., None, None], dvec_j, 0.0), axis=2
-        )  # [G, A, L, h]
+        x_agg = jnp.sum(v_j * mk, axis=2)  # [G, A, h]
+        # vec_agg = Σ_k vec[j(k)]·s1[k] + Σ_k s2[k]·d_ij[k]  (no [G,A,k,L,h])
+        S = jnp.einsum("gikj,gikh->gijh", onehot, s1)  # [G, A, A, h]
+        vec_agg = jnp.einsum("gijh,gjlh->gilh", S, vec) + jnp.einsum(
+            "gikh,gikl->gilh", s2 * mk, d_ij
+        )
 
         o123 = _Proj(3 * h, name="o_proj")(x_agg)
         o1, o2, o3 = jnp.split(o123, 3, axis=-1)
@@ -221,22 +237,27 @@ class ViS_MP(nn.Module):
             return dx, dvec, None
 
         # ---- edge update: vector rejection (`visnet_layer.py:546-553,660-667`)
-        def reject(vv, dd):
-            # vv [G,A,k,L,h], dd [G,A,k,L(8 used as direction? no: 8 comps)]
-            proj = jnp.sum(vv * dd[..., None], axis=-2, keepdims=True)
-            return vv - proj * dd[..., None]
-
-        vec_i = vec[:, :, None]  # broadcast target vec over k
-        vec_jj = vec_j
-        w1 = reject(_Proj(h, use_bias=False, name="w_trg_proj")(vec_i), d_ij)
-        w2 = reject(_Proj(h, use_bias=False, name="w_src_proj")(vec_jj), -d_ij)
-        w_dot = jnp.sum(w1 * w2, axis=-2)  # [G, A, k, h]
+        # w1·w2 with w1 = u−(u·d)d, w2 = v−(v·(−d))(−d) expands to
+        # u·v − (u·d)(v·d)(2−|d|²); u at target i, v at source j.
+        u = _Proj(h, use_bias=False, name="w_trg_proj")(vec)  # [G, A, L, h]
+        vv = _Proj(h, use_bias=False, name="w_src_proj")(vec)
+        P = jnp.einsum("gilh,gjlh->gijh", u, vv)  # [G, A, A, h]
+        uv = jnp.einsum("gijh,gikj->gikh", P, onehot)
+        ud = jnp.einsum("gilh,gikl->gikh", u, d_ij)
+        od = jnp.einsum("gikj,gikl->gikjl", onehot, d_ij)  # [G, A, k, A, L]
+        vd = jnp.einsum("gikjl,gjlh->gikh", od, vv)
+        dd = jnp.sum(d_ij * d_ij, axis=-1)[..., None]  # [G, A, k, 1]
+        w_dot = uv - ud * vd * (2.0 - dd)
         if not self.vertex:
             df_ij = nn.silu(_Proj(h, name="f_proj")(f_ij)) * w_dot
         else:
-            t1 = reject(_Proj(h, use_bias=False, name="t_trg_proj")(vec_i), d_ij)
-            t2 = reject(_Proj(h, use_bias=False, name="t_src_proj")(vec_i), -d_ij)
-            t_dot = jnp.sum(t1 * t2, axis=-2)
+            # t1, t2 both use the TARGET vec (`visnet_layer.py:735-745`)
+            p = _Proj(h, use_bias=False, name="t_trg_proj")(vec)
+            qq = _Proj(h, use_bias=False, name="t_src_proj")(vec)
+            pq = jnp.sum(p * qq, axis=-2)  # [G, A, h]
+            pd = jnp.einsum("gilh,gikl->gikh", p, d_ij)
+            qd = jnp.einsum("gilh,gikl->gikh", qq, d_ij)
+            t_dot = pq[:, :, None] - pd * qd * (2.0 - dd)
             f12 = nn.silu(_Proj(2 * h, name="f_proj")(f_ij))
             f1, f2 = jnp.split(f12, 2, axis=-1)
             df_ij = f1 * w_dot + f2 * t_dot
@@ -346,9 +367,13 @@ class ViSNet(nn.Module):
         x_jn = x[gar, nbr_idx]
         f_ij = (x[:, :, None] + x_jn) * _Proj(h, name="edge_proj")(f_rbf)
 
+        # per-layer remat: backward recomputes the [G,A,k,·] edge tensors of
+        # one layer at a time instead of saving six layers' worth (~16 GB at
+        # batch 768 on a 16 GB chip)
+        mp_cls = nn.remat(ViS_MP)
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
-            dx, dvec, df = ViS_MP(
+            dx, dvec, df = mp_cls(
                 num_heads=self.num_heads,
                 hidden_channels=h,
                 cutoff=self.cutoff,
