@@ -38,27 +38,57 @@ def _make_batches(pack_slots: bool):
     import jax
     import jax.numpy as jnp
 
-    from equihgnn_tpu.data.batching import pad_hypergraph_batch, spec_for_samples
+    from equihgnn_tpu.data.batching import spec_for_samples
+    from equihgnn_tpu.data.packed import PackedSamples, iter_packed_batches
     from equihgnn_tpu.data.synthetic import make_synthetic_dataset
 
     samples = make_synthetic_dataset(2 * BATCH, seed=0, num_targets=1)
     for s in samples:
         s.y = np.float32((s.n_atoms - 16.0) / 8.0)
     spec = spec_for_samples(samples, batch_size=BATCH)
-    groups, g, na, ne, nz = [], [], 0, 0, 0
-    for s in samples:
-        if (len(g) >= spec.max_real_graphs or na + s.n_atoms > spec.num_atoms
-                or ne + s.n_hedges > spec.num_hedges or nz + s.nnz > spec.nnz):
-            groups.append(g); g, na, ne, nz = [], 0, 0, 0
-        g.append(s); na += s.n_atoms; ne += s.n_hedges; nz += s.nnz
-    if g:
-        groups.append(g)
-    host_batches = [
-        pad_hypergraph_batch(gr, spec, with_pos=True, pack_slots=pack_slots)
-        for gr in groups
-    ]
+    packed = PackedSamples.from_samples(samples)
+    host_batches = list(
+        iter_packed_batches(
+            packed, spec, with_pos=True, pack_slots=pack_slots
+        )
+    )
     mols = [int(b.graph_mask.sum()) for b in host_batches]
     return [jax.tree.map(jnp.asarray, b) for b in host_batches], mols
+
+
+def bench_packer():
+    """Host-side packing micro-benchmark: native C++ vs pure Python."""
+    import time as _t
+
+    from equihgnn_tpu.data.batching import (
+        pad_hypergraph_batch,
+        spec_for_samples,
+    )
+    from equihgnn_tpu.data.packed import PackedSamples, pack_batch
+    from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+    from equihgnn_tpu.native import native_available
+
+    samples = make_synthetic_dataset(2 * BATCH, seed=0, num_targets=1)
+    spec = spec_for_samples(samples, batch_size=BATCH)
+    packed = PackedSamples.from_samples(samples)
+    members = np.arange(BATCH)
+    out = {"native_available": native_available()}
+    for label, fn in (
+        ("native", lambda: pack_batch(
+            packed, members, spec, target=0, with_pos=True, pack_slots=True)),
+        ("python", lambda: pad_hypergraph_batch(
+            [samples[i] for i in members], spec, target=0, with_pos=True,
+            pack_slots=True)),
+    ):
+        fn()  # warm
+        t0 = _t.perf_counter()
+        for _ in range(20):
+            fn()
+        out[f"{label}_ms_per_batch"] = round((_t.perf_counter() - t0) / 20 * 1e3, 3)
+    out["speedup"] = round(
+        out["python_ms_per_batch"] / out["native_ms_per_batch"], 2
+    )
+    return out
 
 
 def bench_method(method: str, epochs: int = 5) -> dict:
@@ -157,6 +187,8 @@ def main():
         print(json.dumps(r), file=sys.stderr)
 
     if run_all:
+        results["host_packer"] = bench_packer()
+        print(json.dumps(results["host_packer"]), file=sys.stderr)
         with open("BENCH_ENCODERS.json", "w") as f:
             json.dump(results, f, indent=2)
 

@@ -105,6 +105,7 @@ def pack_batch(
     spec: BatchSpec,
     target: int | None = None,
     with_pos: bool = False,
+    pack_slots: bool = False,
 ) -> HyperGraphBatch:
     """Fill one padded batch from packed arrays (native if available)."""
     from equihgnn_tpu.native import get_packer_lib
@@ -116,10 +117,14 @@ def pack_batch(
             spec,
             target=target,
             with_pos=with_pos,
+            pack_slots=pack_slots,
         )
 
     G, N, E, Z = spec.num_graphs, spec.num_atoms, spec.num_hedges, spec.nnz
     A = spec.max_atoms_per_graph
+    if pack_slots and not spec.num_slot_rows:
+        raise ValueError("pack_slots=True needs spec.num_slot_rows > 0")
+    R = spec.num_slot_rows if pack_slots else G
     i32, i64, u8, f32 = (
         ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8, ctypes.c_float,
     )
@@ -139,9 +144,11 @@ def pack_batch(
     }
     pos_out = np.empty((N, 3), np.float32) if with_pos else None
     z_out = np.empty((N,), np.int32) if (with_pos and packed.z is not None) else None
-    si = np.empty((G, A), np.int32) if A else None
-    sm = np.empty((G, A), np.uint8) if A else None
+    si = np.empty((R, A), np.int32) if A else None
+    sm = np.empty((R, A), np.uint8) if A else None
+    sgid = np.empty((R, A), np.int32) if A else None
     aslot = np.empty((N,), np.int32) if A else None
+    arow = np.empty((N,), np.int32) if A else None
     members = np.ascontiguousarray(members, dtype=np.int64)
 
     n_targets = packed.y.shape[1] if packed.y.ndim == 2 else 1
@@ -165,6 +172,7 @@ def pack_batch(
         _c_ptr(packed.z, i32) if (with_pos and packed.z is not None) else null32,
         _c_ptr(members, i64), i64(len(members)),
         i64(G), i64(N), i64(E), i64(Z), i64(A),
+        i64(R if pack_slots else 0),
         _c_ptr(out["atom_feat"], i32), _c_ptr(out["atom_mask"], u8),
         _c_ptr(out["atom_graph_id"], i32),
         _c_ptr(out["vertex_idx"], i32), _c_ptr(out["hedge_idx"], i32),
@@ -176,20 +184,12 @@ def pack_batch(
         _c_ptr(z_out, i32) if z_out is not None else null32,
         _c_ptr(si, i32) if si is not None else null32,
         _c_ptr(sm, u8) if sm is not None else null8,
+        _c_ptr(sgid, i32) if sgid is not None else null32,
         _c_ptr(aslot, i32) if aslot is not None else null32,
+        _c_ptr(arow, i32) if arow is not None else null32,
     )
     if rc != 0:
         raise ValueError(f"native packer failed (code {rc}) for spec {spec}")
-
-    # derived slot-row metadata (native rows are per-molecule)
-    slot_gid = None
-    atom_row = None
-    if si is not None:
-        smb = sm.astype(bool)
-        slot_gid = np.where(
-            smb, np.arange(G, dtype=np.int32)[:, None], np.int32(-1)
-        )
-        atom_row = out["atom_graph_id"].copy()
 
     return HyperGraphBatch(
         atom_feat=out["atom_feat"],
@@ -208,9 +208,10 @@ def pack_batch(
         z=z_out,
         slot_index=si,
         slot_mask=None if sm is None else sm.astype(bool),
-        slot_gid=slot_gid,
+        slot_gid=sgid,
         atom_slot=aslot,
-        atom_row=atom_row,
+        atom_row=arow,
+        rows_are_molecules=not pack_slots,
     )
 
 
@@ -222,6 +223,7 @@ def iter_packed_batches(
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
     indices: np.ndarray | None = None,
+    pack_slots: bool = False,
 ) -> Iterator[HyperGraphBatch]:
     """Greedy grouping (Python, cheap) + native batch fill (C++, hot)."""
     na, ne, nz = packed.sizes()
@@ -241,9 +243,9 @@ def iter_packed_batches(
             or z + nz[i] > spec.nnz
         )
         if over and cur:
-            yield pack_batch(packed, np.array(cur), spec, target, with_pos)
+            yield pack_batch(packed, np.array(cur), spec, target, with_pos, pack_slots)
             cur, a, e, z = [], 0, 0, 0
         cur.append(i)
         a, e, z = a + na[i], e + ne[i], z + nz[i]
     if cur:
-        yield pack_batch(packed, np.array(cur), spec, target, with_pos)
+        yield pack_batch(packed, np.array(cur), spec, target, with_pos, pack_slots)

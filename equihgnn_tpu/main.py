@@ -29,6 +29,7 @@ from equihgnn_tpu.data.batching import (
     pad_hypergraph_batch,
     spec_for_samples,
 )
+from equihgnn_tpu.data.packed import PackedSamples, iter_packed_batches
 from equihgnn_tpu.data.splits import create_train_val_test_set_and_normalize
 from equihgnn_tpu.models.config import ModelConfig
 from equihgnn_tpu.train.trainer import TrainConfig, Trainer
@@ -125,21 +126,44 @@ def run(args) -> dict:
             [], spec, target=None, with_pos=with_pos, edge_feat_width=ef_width
         )
 
+    # select target column once, host-side
+    for s in all_samples:
+        s.y = np.asarray(s.y, dtype=np.float32).reshape(-1)[args.target]
+
+    # hypergraph batches go through the packed representation + native C++
+    # packer (equihgnn_tpu/native/packer.cpp); pack_batch falls back to the
+    # Python packer automatically when no compiler is available
+    packed_splits = (
+        {
+            id(s): PackedSamples.from_samples(s)
+            for s in (train_s, valid_s, test_s)
+            if s
+        }
+        if hyper
+        else {}
+    )
+
     def loader(samples, shuffle, epoch=0):
+        rng = np.random.default_rng(args.seed * 100003 + epoch)
+        if hyper:
+            return iter_packed_batches(
+                packed_splits[id(samples)],
+                spec,
+                target=None,  # y already normalized + selected above
+                with_pos=with_pos,
+                shuffle=shuffle,
+                rng=rng,
+                pack_slots=pack,
+            )
         return iter_batches(
             samples,
             spec,
             hyper=hyper,
-            target=None,  # y already normalized + selected below
+            target=None,
             with_pos=with_pos,
             shuffle=shuffle,
-            rng=np.random.default_rng(args.seed * 100003 + epoch),
-            pack_slots=pack,
+            rng=rng,
         )
-
-    # select target column once, host-side
-    for s in all_samples:
-        s.y = np.asarray(s.y, dtype=np.float32).reshape(-1)[args.target]
 
     results = []
     for run_idx in range(args.runs):

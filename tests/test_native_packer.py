@@ -85,3 +85,31 @@ def test_native_is_faster(data):
     t_python = time.perf_counter() - t0
     print(f"native {t_native*50:.2f} ms/batch vs python {t_python*50:.2f} ms/batch")
     assert t_native < t_python  # should be much faster; conservative bound
+
+
+def test_native_pack_slots_matches_python(data):
+    samples, spec, packed = data
+    members = np.arange(24)
+    want = pad_hypergraph_batch(
+        [samples[i] for i in members], spec, target=1, with_pos=True,
+        pack_slots=True,
+    )
+    got = pack_batch(packed, members, spec, target=1, with_pos=True,
+                     pack_slots=True)
+    _assert_batches_equal(want, got)
+    for field in ("slot_gid", "atom_row"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(want, field)), np.asarray(getattr(got, field)),
+            err_msg=field,
+        )
+    assert got.rows_are_molecules is False
+
+
+def test_iter_packed_pack_slots_covers_all(data):
+    samples, spec, packed = data
+    total = 0
+    for b in iter_packed_batches(packed, spec, target=0, with_pos=True,
+                                 pack_slots=True):
+        total += int(b.graph_mask.sum())
+        assert b.slot_index.shape[0] == spec.num_slot_rows
+    assert total == len(samples)
