@@ -395,3 +395,27 @@ def iter_batches(
         a, e, z = a + na, e + ne, z + nz
     if cur and not drop_last:
         yield pad(cur, spec, target, with_pos)
+
+
+def empty_like(batch):
+    """All-padding batch with the same static shapes as `batch`.
+
+    Zeroed masks make every reduction/loss contribution vanish; index arrays
+    keep their (in-range) values. Lets data-parallel tail groups pad with ANY
+    spec's batches — no fixed `make_empty` closure needed (bucketed loaders
+    yield several specs per epoch).
+    """
+    import dataclasses
+
+    masks = {"atom_mask", "inc_mask", "hedge_mask", "graph_mask", "slot_mask",
+             "edge_mask"}
+    updates = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if v is None or not hasattr(v, "dtype"):
+            continue
+        if f.name in masks or f.name == "y":
+            updates[f.name] = np.zeros_like(v)
+        elif f.name == "slot_gid":
+            updates[f.name] = np.full_like(v, -1)
+    return batch.replace(**updates)

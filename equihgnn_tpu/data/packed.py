@@ -249,3 +249,144 @@ def iter_packed_batches(
         a, e, z = a + na[i], e + ne[i], z + nz[i]
     if cur:
         yield pack_batch(packed, np.array(cur), spec, target, with_pos, pack_slots)
+
+
+# --------------------------------------------------------------- scale path
+def packed_from_cache(path: str) -> PackedSamples:
+    """Load a MolDataset npz cache directly as PackedSamples — no per-sample
+    Python objects (SURVEY Phase 5: PCQM4Mv2 ~3.7M molecules, the reference
+    handles it via InMemoryDataset, `reference equihgnn/data/pcqm4.py:57-114`).
+    """
+    data = np.load(path)
+    if not bool(data["hyper"]):
+        raise ValueError("packed loading supports hypergraph caches only")
+    return PackedSamples(
+        af=np.ascontiguousarray(data["af"], dtype=np.int32),
+        af_off=np.ascontiguousarray(data["af_off"], dtype=np.int64),
+        vi=np.ascontiguousarray(data["vi"], dtype=np.int64),
+        vi_off=np.ascontiguousarray(data["vi_off"], dtype=np.int64),
+        hi=np.ascontiguousarray(data["hi"], dtype=np.int64),
+        hi_off=np.ascontiguousarray(data["hi_off"], dtype=np.int64),
+        hf=np.ascontiguousarray(data["hf"], dtype=np.int64),
+        hf_off=np.ascontiguousarray(data["hf_off"], dtype=np.int64),
+        y=np.ascontiguousarray(data["y"], dtype=np.float32),
+        pos=(np.ascontiguousarray(data["pos"], dtype=np.float32)
+             if "pos" in data else None),
+        z=(np.ascontiguousarray(data["z"], dtype=np.int32)
+           if "z" in data else None),
+    )
+
+
+_DIR_FIELDS = ("af", "af_off", "vi", "vi_off", "hi", "hi_off",
+               "hf", "hf_off", "y", "pos", "z")
+
+
+def save_packed_dir(packed: PackedSamples, path: str) -> None:
+    """Write each array as a raw .npy so loads can be memory-mapped —
+    a multi-million-molecule dataset costs no RSS until batches touch it."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for f in _DIR_FIELDS:
+        arr = getattr(packed, f)
+        if arr is not None:
+            np.save(os.path.join(path, f + ".npy"), arr)
+
+
+def packed_from_dir(path: str, mmap: bool = True) -> PackedSamples:
+    import os
+
+    mode = "r" if mmap else None
+    load = lambda f: (
+        np.load(os.path.join(path, f + ".npy"), mmap_mode=mode)
+        if os.path.exists(os.path.join(path, f + ".npy"))
+        else None
+    )
+    kw = {f: load(f) for f in _DIR_FIELDS}
+    # offsets are tiny and indexed constantly — always materialize
+    for f in ("af_off", "vi_off", "hi_off", "hf_off"):
+        kw[f] = np.asarray(kw[f])
+    return PackedSamples(**kw)
+
+
+def make_packed_buckets(
+    packed: PackedSamples,
+    batch_size: int,
+    atom_boundaries: Sequence[int] = (16,),
+    atom_multiple: int = 8,
+    headroom: float = 1.05,
+):
+    """Size buckets with tight per-bucket specs, from offsets alone.
+
+    Returns [(indices, BatchSpec)]. Padding waste in the dense [R, A_max]
+    view is the main throughput loss when sizes vary (`make_size_buckets`);
+    this is the object-free equivalent for the packed/streaming path.
+    """
+    from equihgnn_tpu.data.batching import BatchSpec, _round_up
+
+    na, ne, nz = packed.sizes()
+    bounds = list(atom_boundaries) + [int(na.max())]
+    buckets = []
+    lo = 0
+    for hi_b in bounds:
+        sel = np.where((na > lo) & (na <= hi_b))[0]
+        if len(sel):
+            cap = lambda arr: _round_up(
+                max(int(batch_size * float(arr.mean()) * headroom),
+                    int(arr.max()) + 1),
+                atom_multiple,
+            )
+            a_max = _round_up(int(na[sel].max()), atom_multiple)
+            num_atoms = cap(na[sel])
+            spec = BatchSpec(
+                num_graphs=batch_size + 1,
+                num_atoms=num_atoms,
+                num_hedges=cap(ne[sel]),
+                nnz=cap(nz[sel]),
+                max_atoms_per_graph=a_max,
+                num_slot_rows=int(num_atoms / a_max * 1.15) + 3,
+            )
+            buckets.append((sel, spec))
+        lo = hi_b
+    return buckets
+
+
+def padding_waste_stats(packed: PackedSamples, buckets) -> dict:
+    """Slot-utilization diagnostics per bucket (logged by the CLI)."""
+    na, _, _ = packed.sizes()
+    out = {}
+    for bi, (sel, spec) in enumerate(buckets):
+        atoms = int(na[sel].sum())
+        batches = max(1, int(np.ceil(atoms / spec.num_atoms)))
+        slot_cap = spec.num_slot_rows * spec.max_atoms_per_graph
+        out[f"bucket{bi}"] = {
+            "molecules": int(len(sel)),
+            "a_max": spec.max_atoms_per_graph,
+            "atom_capacity_util": round(atoms / (batches * spec.num_atoms), 3),
+            "slot_rows": spec.num_slot_rows,
+            "slot_util_bound": round(spec.num_atoms / slot_cap, 3),
+        }
+    return out
+
+
+def iter_bucketed_packed_batches(
+    packed: PackedSamples,
+    buckets,
+    *,
+    target: int | None = None,
+    with_pos: bool = False,
+    shuffle: bool = False,
+    rng: np.random.Generator | None = None,
+    pack_slots: bool = False,
+) -> Iterator[HyperGraphBatch]:
+    """Generator over per-bucket packed batches — bounded memory, no batch
+    list is ever materialized (unlike `iter_bucketed_batches`' eager list).
+    Bucket order is shuffled per epoch; batches stream within each bucket."""
+    rng = rng or np.random.default_rng()
+    order = rng.permutation(len(buckets)) if shuffle else np.arange(len(buckets))
+    for bi in order:
+        sel, spec = buckets[int(bi)]
+        yield from iter_packed_batches(
+            packed, spec, target=target, with_pos=with_pos,
+            shuffle=shuffle, rng=rng, indices=sel, pack_slots=pack_slots,
+        )

@@ -155,3 +155,53 @@ def make_synthetic_dataset(
         )
         for _ in range(n)
     ]
+
+
+def make_synthetic_packed(
+    n: int,
+    seed: int = 0,
+    num_targets: int = 1,
+    with_pos: bool = True,
+    chunk: int = 20_000,
+):
+    """Directly build a `PackedSamples` of `n` synthetic molecules.
+
+    Generates in chunks and concatenates arrays, so peak Python-object count
+    is `chunk`, not `n` — the entry point for the ≥100k-molecule scale path
+    (SURVEY Phase 5).
+    """
+    from equihgnn_tpu.data.packed import PackedSamples
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    done = 0
+    while done < n:
+        m = min(chunk, n - done)
+        samples = [
+            random_hypergraph_sample(
+                rng, num_targets=num_targets, with_pos=with_pos
+            )
+            for _ in range(m)
+        ]
+        parts.append(PackedSamples.from_samples(samples))
+        done += m
+    if len(parts) == 1:
+        return parts[0]
+    cat = lambda f: np.concatenate([getattr(p, f) for p in parts])
+    off = lambda f: np.concatenate(
+        [parts[0].__getattribute__(f)]
+        + [
+            p.__getattribute__(f)[1:]
+            + sum(q.__getattribute__(f)[-1] for q in parts[:i + 1])
+            for i, p in enumerate(parts[1:])
+        ]
+    ).astype(np.int64)
+    return PackedSamples(
+        af=cat("af"), af_off=off("af_off"),
+        vi=cat("vi"), vi_off=off("vi_off"),
+        hi=cat("hi"), hi_off=off("hi_off"),
+        hf=cat("hf"), hf_off=off("hf_off"),
+        y=np.concatenate([p.y for p in parts]),
+        pos=None if parts[0].pos is None else cat("pos"),
+        z=None if parts[0].z is None else cat("z"),
+    )

@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_size", default=None, type=int)
     p.add_argument("--pack_slots", action="store_true",
                    help="pack small molecules into shared dense slot rows")
+    p.add_argument("--buckets", default=None, type=str,
+                   help="comma-separated atom-count boundaries for size-"
+                        "bucketed batching (tight per-bucket specs), e.g. '16,24'")
+    p.add_argument("--streaming", action="store_true",
+                   help="object-free packed data path: no per-sample Python "
+                        "objects, generator batches (bounded memory; for "
+                        "multi-million-molecule datasets)")
     p.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force a JAX platform (the image pins axon via sitecustomize)",
@@ -96,6 +103,9 @@ def run(args) -> dict:
 
     import equihgnn_tpu.data.datasets  # noqa: F401
     import equihgnn_tpu.models  # noqa: F401
+
+    if args.streaming:
+        return _run_streaming(args)
 
     data_kwargs = {}
     if args.data.startswith("synthetic") and args.synthetic_size:
@@ -210,6 +220,140 @@ def run(args) -> dict:
             lambda: loader(test_s, False),
             restore_best=not args.debug,
             make_empty=make_empty,
+        )
+        print(json.dumps({**best, **metrics}, indent=2))
+        results.append({**best, **metrics})
+    return results[-1]
+
+
+def _run_streaming(args) -> dict:
+    """Object-free packed data path (SURVEY Phase 5: 3.7M-molecule scale).
+
+    No per-sample Python objects and no batch lists: splits are index arrays,
+    normalization runs on the packed y column, batches stream from the native
+    packer. `--buckets` gives each atom-size range a tight static spec
+    (padding-waste stats are printed); the jitted step recompiles once per
+    bucket spec.
+    """
+    import dataclasses
+
+    from equihgnn_tpu.data.packed import (
+        iter_bucketed_packed_batches,
+        iter_packed_batches,
+        make_packed_buckets,
+        packed_from_cache,
+        padding_waste_stats,
+    )
+
+    if args.data.startswith("synthetic"):
+        from equihgnn_tpu.data.synthetic import make_synthetic_packed
+
+        packed = make_synthetic_packed(
+            args.synthetic_size or 10_000, seed=0, num_targets=16
+        )
+        with_pos = args.data.endswith("_3d")
+    else:
+        # featurize-once cache (built on first use), then load object-free
+        data_cls = registry.get_data_class(args.data)
+        if not data_cls.hyper:
+            raise ValueError("--streaming supports hypergraph datasets")
+        ds = data_cls(root=args.data_dir)
+        path = ds.processed_path
+        with_pos = data_cls.has_pos
+        del ds
+        packed = packed_from_cache(path)
+
+    # 80/10/10 split as index arrays; whole-dataset normalization leak
+    # replicated (`reference data_split.py:68-72`)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(packed.n)
+    n_train, n_valid = int(0.8 * packed.n), int(0.1 * packed.n)
+    splits = {
+        "train": perm[:n_train],
+        "valid": perm[n_train : n_train + n_valid],
+        "test": perm[n_train + n_valid :],
+    }
+    mean = packed.y.mean(axis=0)
+    std_all = packed.y.std(axis=0, ddof=1)
+    std_all = np.where(std_all == 0, 1.0, std_all)
+    packed.y = ((packed.y - mean) / std_all).astype(np.float32)
+    t = int(args.target) if packed.y.ndim > 1 and packed.y.shape[1] > 1 else 0
+    std = float(std_all.reshape(-1)[t])
+
+    if args.buckets:
+        bounds = [int(x) for x in args.buckets.split(",")]
+        buckets = make_packed_buckets(packed, args.batch_size, bounds)
+        waste = padding_waste_stats(packed, buckets)
+        print("bucket stats:", json.dumps(waste))
+
+
+        def split_buckets(idx):
+            out = []
+            for sel, spec in buckets:
+                inter = np.intersect1d(sel, idx, assume_unique=False)
+                if len(inter):
+                    out.append((inter, spec))
+            return out
+
+        per_split = {k: split_buckets(v) for k, v in splits.items()}
+    else:
+        from equihgnn_tpu.data.batching import BatchSpec, _round_up
+
+        na, ne, nz = packed.sizes()
+        cap = lambda arr: _round_up(
+            max(int(args.batch_size * float(arr.mean()) * 1.05),
+                int(arr.max()) + 1), 8,
+        )
+        a_max = _round_up(int(na.max()), 8)
+        num_atoms = cap(na)
+        spec = BatchSpec(
+            num_graphs=args.batch_size + 1, num_atoms=num_atoms,
+            num_hedges=cap(ne), nnz=cap(nz), max_atoms_per_graph=a_max,
+            num_slot_rows=int(num_atoms / a_max * 1.15) + 3,
+        )
+        per_split = {k: [(v, spec)] for k, v in splits.items()}
+
+    pack = bool(args.pack_slots) and args.method.startswith(
+        ("egnn", "visnet", "equiformer", "se3")
+    )
+
+    def loader(split, shuffle, epoch=0):
+        return iter_bucketed_packed_batches(
+            packed, per_split[split], target=args.target,
+            with_pos=with_pos, shuffle=shuffle,
+            rng=np.random.default_rng(args.seed * 100003 + epoch),
+            pack_slots=pack,
+        )
+
+    results = []
+    for run_idx in range(args.runs):
+        seed = args.seed + run_idx
+        print(f"\nRun No. {run_idx + 1} (streaming):\nSeed: {seed}\n")
+        exp = f"{args.data}_{args.target}_{args.method}_streaming"
+        version = 0
+        while os.path.exists(os.path.join("logs", exp, f"version_{version}")):
+            version += 1
+        log_dir = os.path.join("logs", exp, f"version_{version}")
+
+        cfg = ModelConfig.from_args(args)
+        if args.data_parallel:
+            cfg = dataclasses.replace(cfg, axis_name="data")
+        model = create_model(args.method, num_target=1, cfg=cfg)
+        tcfg = TrainConfig(
+            epochs=args.epochs, lr=args.lr, weight_decay=args.wd,
+            clip_gnorm=args.clip_gnorm, seed=seed,
+            min_lr=args.min_lr if args.use_min_lr else None,
+            log_dir=log_dir, data_parallel=args.data_parallel,
+            num_devices=args.num_devices, debug=args.debug,
+        )
+        example = next(iter(loader("train", False)))
+        trainer = Trainer(model, tcfg, example, std=std)
+        best = trainer.fit(
+            lambda epoch: loader("train", True, epoch),
+            lambda: loader("valid", False),
+        )
+        metrics = trainer.test(
+            lambda: loader("test", False), restore_best=not args.debug
         )
         print(json.dumps({**best, **metrics}, indent=2))
         results.append({**best, **metrics})

@@ -28,20 +28,34 @@ def stack_microbatches(batches: Sequence):
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 
-def group_for_devices(batch_iter, ndev: int, make_empty):
+def group_for_devices(batch_iter, ndev: int, make_empty=None):
     """Group a stream of padded batches into [ndev, ...] stacks.
 
-    The tail group is padded with empty (all-padding-graph) batches so every
-    step sees identical shapes; empty batches contribute zero to the masked
-    loss and metrics.
+    Tail groups are padded with all-padding-graph batches (zero contribution
+    to the masked loss/metrics). Groups are formed per static shape, so
+    bucketed loaders (several specs per epoch) work: a shape change flushes
+    the open group.
     """
+    from equihgnn_tpu.data.batching import empty_like
+
+    def flush(group):
+        while len(group) < ndev:
+            group.append(empty_like(group[-1]) if make_empty is None
+                         else make_empty())
+        return stack_microbatches(group)
+
     group = []
+    shape_of = lambda b: jax.tree.map(lambda x: getattr(x, "shape", None), b)
+    sig = None
     for b in batch_iter:
+        s = shape_of(b)
+        if group and s != sig:
+            yield flush(group)
+            group = []
+        sig = s
         group.append(b)
         if len(group) == ndev:
             yield stack_microbatches(group)
             group = []
     if group:
-        while len(group) < ndev:
-            group.append(make_empty())
-        yield stack_microbatches(group)
+        yield flush(group)
