@@ -104,6 +104,12 @@ def run(args) -> dict:
     import equihgnn_tpu.data.datasets  # noqa: F401
     import equihgnn_tpu.models  # noqa: F401
 
+    if args.data_parallel:
+        from equihgnn_tpu.parallel.mesh import maybe_init_distributed
+
+        if maybe_init_distributed():
+            print("jax.distributed initialized (multi-host mesh)")
+
     if args.streaming:
         return _run_streaming(args)
 

@@ -16,11 +16,54 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host wiring (reference DDP is multi-node by construction,
+    `reference main.py:281`): call `jax.distributed.initialize` when the
+    standard cluster env is present (JAX_COORDINATOR_ADDRESS [+
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID], or a TPU-pod metadata environment).
+    After it, `jax.devices()` is GLOBAL and the 1-D data mesh below spans
+    hosts — gradients psum over ICI within a slice and DCN across slices.
+
+    UNTESTED here: this image exposes a single tunneled chip and no second
+    host; the code path is exercised only up to the env check. Documented in
+    DECISIONS.md.
+    """
+    import os
+
+    if os.environ.get("EQUIHGNN_TPU_NO_DISTRIBUTED"):
+        return False
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"])
+            if "JAX_NUM_PROCESSES" in os.environ
+            else None,
+            process_id=int(os.environ["JAX_PROCESS_ID"])
+            if "JAX_PROCESS_ID" in os.environ
+            else None,
+        )
+        return True
+    except Exception as e:  # pragma: no cover - cluster-only path
+        print(f"[mesh] jax.distributed.initialize failed: {e}")
+        return False
+
+
 def get_data_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def local_batch_indices(n: int) -> np.ndarray:
+    """Host-sharded data selection: each process loads its contiguous 1/P of
+    the dataset (replaces the reference's DistributedSampler)."""
+    p, pid = jax.process_count(), jax.process_index()
+    per = (n + p - 1) // p
+    return np.arange(pid * per, min((pid + 1) * per, n))
 
 
 def stack_microbatches(batches: Sequence):
