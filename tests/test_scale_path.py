@@ -107,3 +107,23 @@ def test_group_for_devices_handles_mixed_specs():
         assert g.atom_feat.shape[0] == 4
         total += int(np.asarray(g.graph_mask).sum())
     assert total == 40
+
+
+def test_streaming_buckets_dp_cli(tmp_path, monkeypatch):
+    """--streaming --buckets --data_parallel end-to-end on the virtual mesh
+    (the full scale path: packed splits, per-bucket specs, shape-aware DP
+    grouping with empty_like tails)."""
+    monkeypatch.chdir(tmp_path)
+    from equihgnn_tpu.main import build_parser, run
+
+    args = build_parser().parse_args(
+        [
+            "--streaming", "--data", "synthetic_hg_3d", "--synthetic_size",
+            "300", "--method", "egnn_equihnns", "--epochs", "1",
+            "--batch_size", "16", "--buckets", "16", "--target", "0",
+            "--data_parallel", "--pack_slots", "--MLP_hidden", "8",
+            "--output_hidden", "8", "--All_num_layers", "1", "--debug",
+        ]
+    )
+    result = run(args)
+    assert np.isfinite(result["test_mae_mean"])
