@@ -120,13 +120,24 @@ def _contract_ok(segment_ids):
     return jnp.all(ok.reshape(-1)[:m])
 
 
+# The kernel accumulates into the whole [sp, dp] output slab resident in
+# VMEM (sequential-grid read-modify-write); it must fit alongside ids/input
+# blocks and compiler scratch in the 16 MB of scoped VMEM.
+VMEM_OUT_BUDGET = 10 * 2**20
+
+
 def _forward(data, segment_ids, num_segments: int):
+    m, d = data.shape
+    sp = _round_up(num_segments, BM) + BM
+    dp = _round_up(d, BD)
+    if sp * dp * 4 > VMEM_OUT_BUDGET:  # static shapes → static decision
+        return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     return jax.lax.cond(
         _contract_ok(segment_ids),
-        lambda d, i: _pallas_forward(d, i, num_segments),
+        lambda d_, i: _pallas_forward(d_, i, num_segments),
         # fallback must not assert sortedness (indices_are_sorted is a
         # correctness-critical hint to the scatter lowering)
-        lambda d, i: jax.ops.segment_sum(d, i, num_segments=num_segments),
+        lambda d_, i: jax.ops.segment_sum(d_, i, num_segments=num_segments),
         data,
         segment_ids,
     )

@@ -79,3 +79,15 @@ def test_gradient_is_gather_on_both_paths(rng):
         g = jax.grad(loss)(jnp.asarray(data))
         want = 2.0 * _oracle(data, ids, s)[ids]
         np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-4)
+
+
+def test_oversized_output_uses_xla_path(rng):
+    """Outputs too big for the 16 MB scoped VMEM must route to XLA (the
+    kernel keeps the whole [segments, lanes] slab resident; a 500k-molecule
+    bucket spec crashed compile before this guard)."""
+    m, s, d = 4096, 30_000, 256  # sp*dp*4 ≈ 31 MB > budget
+    ids = np.sort(rng.integers(0, s, size=m))
+    data = rng.standard_normal((m, d)).astype(np.float32)
+    got = sorted_segment_sum(jnp.asarray(data), jnp.asarray(ids), s)
+    want = jax.ops.segment_sum(jnp.asarray(data), jnp.asarray(ids), num_segments=s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
