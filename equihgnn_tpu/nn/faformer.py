@@ -32,6 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops.eigh3 import eigh3x3
 from equihgnn_tpu.ops.knn import knn_dense
 
 # 8 sign-flip operations [8, 3] (`fa_former_layer.py:70-83`)
@@ -58,7 +59,10 @@ def create_frame(coords, mask):
     # guard degenerate (all-masked) sets: eigh of I is well-defined
     deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
     cov = jnp.where(deg, jnp.eye(3, dtype=cov.dtype), cov)
-    _, eigvec = jnp.linalg.eigh(cov)  # [..., 3, 3], columns = eigenvectors
+    # analytic 3x3 eigensolver: jnp.linalg.eigh's iterative lowering costs
+    # ~82 ms per [24k,3,3] batch on the v5e and dominates the FAFormer step
+    # (~10 calls); the closed form is pure VPU math (equihgnn_tpu/ops/eigh3.py)
+    _, eigvec = eigh3x3(cov)  # [..., 3, 3], columns = eigenvectors
     ops = jnp.asarray(_SIGN_OPS)  # [8, 3]
     # F_ops[..., o, i, j] = ops[o, j] * eigvec[..., i, j]
     f_ops = ops[:, None, :] * eigvec[..., None, :, :]  # [..., 8, 3, 3]
