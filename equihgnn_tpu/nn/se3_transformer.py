@@ -337,6 +337,7 @@ class SE3Transformer(nn.Module):
     valid_radius: float = 1e5
     num_neighbors: int = 16
     attend_self: bool = True
+    remat_blocks: bool = True  # recompute block edge tensors in backward
 
     @nn.compact
     def __call__(
@@ -373,8 +374,8 @@ class SE3Transformer(nn.Module):
         # per-block remat: backward recomputes one block's per-edge tensors
         # at a time instead of saving every block's (OOM at batch 768 on a
         # 16 GB chip)
-        conv_cls = nn.remat(ConvSE3)
-        attn_cls = nn.remat(AttentionSE3)
+        conv_cls = nn.remat(ConvSE3) if self.remat_blocks else ConvSE3
+        attn_cls = nn.remat(AttentionSE3) if self.remat_blocks else AttentionSE3
 
         x = {0: fd[..., None]}
         x = conv_cls(fiber_in, fiber_hidden, name="conv_in")(

@@ -193,11 +193,13 @@ class ViS_MP(nn.Module):
             name="vec_layernorm",
         )(vec)
 
-        q = _Proj(h, name="q_proj")(x).reshape(g, a, nh, hd)
-        kk = _Proj(h, name="k_proj")(x).reshape(g, a, nh, hd)
-        v = _Proj(h, name="v_proj")(x).reshape(g, a, nh, hd)
-        dk = nn.silu(_Proj(h, name="dk_proj")(f_ij)).reshape(g, a, k, nh, hd)
-        dv = nn.silu(_Proj(h, name="dv_proj")(f_ij)).reshape(g, a, k, nh, hd)
+        # keep everything in the fused [.., h=nh*hd] 128-lane-friendly layout;
+        # [.., nh, hd] with hd=32 would pad the minor dim 32→128 (4× HBM)
+        q = _Proj(h, name="q_proj")(x)
+        kk = _Proj(h, name="k_proj")(x)
+        v = _Proj(h, name="v_proj")(x)
+        dk = nn.silu(_Proj(h, name="dk_proj")(f_ij))
+        dv = nn.silu(_Proj(h, name="dv_proj")(f_ij))
 
         vec123 = _Proj(3 * h, use_bias=False, name="vec_proj")(vec)
         vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
@@ -209,14 +211,18 @@ class ViS_MP(nn.Module):
             & nbr_mask[..., None]
         ).astype(x.dtype)
 
-        # ---- message over neighbors (scalar gathers are cheap: [G,A,k,·,hd])
-        k_j = kk[gar, nbr_idx]  # [G, A, k, nh, hd]
+        # ---- message over neighbors
+        k_j = kk[gar, nbr_idx]  # [G, A, k, h]
         v_j = v[gar, nbr_idx]
-        attn = jnp.sum(q[:, :, None] * k_j * dk, axis=-1)  # [G, A, k, nh]
+        prod = q[:, :, None, :] * k_j * dk  # [G, A, k, h]
+        attn = prod.reshape(g, a, k, nh, hd).sum(-1)  # per-head reduce only
         attn = nn.silu(attn) * cosine_cutoff(r_ij, self.cutoff)[..., None]
-        attn = jnp.where(nbr_mask[..., None], attn, 0.0)
+        attn = jnp.where(nbr_mask[..., None], attn, 0.0)  # [G, A, k, nh]
+        attn_h = jnp.broadcast_to(
+            attn[..., None], (g, a, k, nh, hd)
+        ).reshape(g, a, k, h)
 
-        v_j = (v_j * dv * attn[..., None]).reshape(g, a, k, h)
+        v_j = v_j * dv * attn_h
         s12 = nn.silu(_Proj(2 * h, name="s_proj")(v_j))
         s1, s2 = jnp.split(s12, 2, axis=-1)
         mk = nbr_mask[..., None].astype(x.dtype)
@@ -310,6 +316,7 @@ class ViSNet(nn.Module):
     max_num_neighbors: int = 32
     vertex: bool = False
     std: float = 1.0
+    remat_layers: bool = True  # recompute per-layer edge tensors in backward
 
     @nn.compact
     def __call__(
@@ -370,7 +377,7 @@ class ViSNet(nn.Module):
         # per-layer remat: backward recomputes the [G,A,k,·] edge tensors of
         # one layer at a time instead of saving six layers' worth (~16 GB at
         # batch 768 on a 16 GB chip)
-        mp_cls = nn.remat(ViS_MP)
+        mp_cls = nn.remat(ViS_MP) if self.remat_layers else ViS_MP
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             dx, dvec, df = mp_cls(
