@@ -35,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.nn.se3_transformer import _dense_h
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.sh import spherical_harmonics
 from equihgnn_tpu.ops.numerics import safe_norm
@@ -170,9 +171,12 @@ class DTP(nn.Module):
         — contract the f=radial-hidden dim against neighbors first
         (M[n,f,i,c] = Σ_k h[k,f]·t[k,i,c]), then apply W once per NODE.
         ~15× fewer FLOPs and O(E·f·i) memory instead of O(E·o·i).
-      * pool=False: apply W to t before contracting h
-        (y[e,f,o,c] = Σ_i W[f,o,i]·t[e,i,c]; out = Σ_f h[e,f]·y) so the
-        per-edge intermediate is f·o·c (≤ a few k) instead of o·i (65k).
+      * pool=False: W acts on the channel dim and CG×SH on the m dims, so
+        they commute with the x-linearity — apply W (bias folded in as an
+        extra radial channel) at the N node sites (u = W_aug·x, J-independent),
+        mix with the radial hidden through a dense one-hot neighbor matmul,
+        and only then apply the per-J CG×SH. Per-edge intermediates never
+        exceed [E, o, 2din+1].
     """
 
     fiber_in: Fiber
@@ -213,22 +217,23 @@ class DTP(nn.Module):
             split_out = split_num_into_groups(dim_out, n_in)
             chunks = []
             for din, (dim_in, nc_out) in enumerate(zip(self.fiber_in, split_out)):
-                x = xj[din][gar, nbr_idx]  # [G, A, k, dim_in, 2din+1]
-                if self.project_xi_xj:
-                    x = x + xi[din][:, :, None]
-                # Σ_J CG contraction with spherical harmonics
-                t = None
-                for J in range(abs(din - dout), din + dout + 1):
-                    Q = jnp.asarray(_cg(din, J, dout))  # [2din+1, 2J+1, 2dout+1]
-                    term = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
-                    t = term if t is None else t + term
+                js = list(range(abs(din - dout), din + dout + 1))
                 h = RadialTrunk(f, name=f"radial_{din}_{dout}")(rel_dist)
                 W, b = _radial_out_params(
                     self, f"radial_{din}_{dout}_out", f, nc_out, dim_in
                 )
-                t = jnp.where(inc_mask, t, 0.0)
                 h = jnp.where(nbr_mask[..., None], h, 0.0)
                 if self.pool:
+                    x = xj[din][gar, nbr_idx]  # [G, A, k, dim_in, 2din+1]
+                    if self.project_xi_xj:
+                        x = x + xi[din][:, :, None]
+                    # Σ_J CG contraction with spherical harmonics
+                    t = None
+                    for J in js:
+                        Q = jnp.asarray(_cg(din, J, dout))  # [2din+1,2J+1,2dout+1]
+                        term = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
+                        t = term if t is None else t + term
+                    t = jnp.where(inc_mask, t, 0.0)
                     # neighbor mean first, W once per node (see class doc)
                     M = jnp.einsum("gakf,gakic->gafic", h, t)
                     tbar = jnp.sum(t, axis=2)  # [G, A, i, c]
@@ -237,9 +242,27 @@ class DTP(nn.Module):
                         + jnp.einsum("oi,gaic->gaoc", b, tbar)
                     ) / cnt
                 else:
-                    y = jnp.einsum("foi,gakic->gakfoc", W, t)
-                    out = jnp.einsum("gakf,gakfoc->gakoc", h, y)
-                    out = out + jnp.einsum("oi,gakic->gakoc", b, t)
+                    # node-side: u = W_aug·x (bias folded as an extra radial
+                    # channel that is 1 on real edges), dense one-hot mix,
+                    # per-J CG×SH last (all commute with the x-linearity)
+                    h_aug = jnp.concatenate(
+                        [h, nbr_mask[..., None].astype(h.dtype)], -1
+                    )
+                    W_aug = jnp.concatenate([W, b[None]], axis=0)  # [f+1,o,i]
+                    u_j = jnp.einsum("foi,gjib->gjfob", W_aug, xj[din])
+                    hd = _dense_h(h_aug, nbr_idx, nbr_mask)  # [G, A, A, f+1]
+                    vd = jnp.einsum("gijf,gjfob->gijob", hd, u_j)
+                    v = jnp.take_along_axis(
+                        vd, nbr_idx[..., None, None], axis=2
+                    )  # [G, A, k, o, 2din+1]
+                    if self.project_xi_xj:
+                        u_i = jnp.einsum("foi,gaib->gafob", W_aug, xi[din])
+                        v = v + jnp.einsum("gakf,gafob->gakob", h_aug, u_i)
+                    out = None
+                    for J in js:
+                        Q = jnp.asarray(_cg(din, J, dout))
+                        term = jnp.einsum("bmc,gakob,gakm->gakoc", Q, v, sh[J])
+                        out = term if out is None else out + term
                 chunks.append(out)
             outputs[dout] = jnp.concatenate(chunks, axis=-2)
 
