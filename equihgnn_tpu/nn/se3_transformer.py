@@ -185,7 +185,7 @@ class ConvSE3(nn.Module):
                     self, f"radial_{din}_{dout}_out", f, nc_out, nc_in, len(js)
                 )
                 xn = inp[din]  # [G, A, nc_in, 2din+1]
-                n_b = xn.shape[-1]
+
                 term = None
                 if self.pool:
                     # per-(J, c) checkpoint: each unit's M[·, f, i] temp
@@ -211,27 +211,23 @@ class ConvSE3(nn.Module):
                 else:
                     hd = _dense_h(h, nbr_idx, nbr_mask)  # [G, A, A, f]
 
-                    # per-(J, b) checkpoint: u/v_dense temps live one at a
-                    # time and are recomputed in backward
+                    # per-J checkpoint: u [N, f, o, b] (≤1.7 GB) and the
+                    # dense mix live one J at a time, recomputed in backward
                     @jax.checkpoint
-                    def one_jb(Wj, bj, Qb, shj, xb, hd=hd):
-                        u = jnp.einsum("foi,gji->gjfo", Wj, xb)
-                        v_dense = jnp.einsum("gijf,gjfo->gijo", hd, u)
+                    def one_j(Wj, bj, Q, shj, hd=hd, xn=xn):
+                        u = jnp.einsum("foi,gjib->gjfob", Wj, xn)
+                        v_dense = jnp.einsum("gijf,gjfob->gijob", hd, u)
                         vk = jnp.take_along_axis(
-                            v_dense, nbr_idx[..., None], axis=2
-                        )  # [G, A, k, o]
-                        ub = jnp.einsum("oi,gji->gjo", bj, xb)
+                            v_dense, nbr_idx[..., None, None], axis=2
+                        )  # [G, A, k, o, b]
+                        ub = jnp.einsum("oi,gjib->gjob", bj, xn)
                         vk = vk + ub[gar, nbr_idx]
-                        return jnp.einsum("mc,gako,gakm->gakoc", Qb, vk, shj)
+                        return jnp.einsum("bmc,gakob,gakm->gakoc", Q, vk, shj)
 
                     for jidx, J in enumerate(js):
                         Q = jnp.asarray(_cg(din, J, dout))
-                        for bi in range(n_b):
-                            contrib = one_jb(
-                                W[..., jidx], b[..., jidx], Q[bi], sh[J],
-                                xn[..., bi],
-                            )
-                            term = contrib if term is None else term + contrib
+                        contrib = one_j(W[..., jidx], b[..., jidx], Q, sh[J])
+                        term = contrib if term is None else term + contrib
                     term = jnp.where(inc, term, 0.0)
                 acc = term if acc is None else acc + term
             outputs[dout] = acc  # pooled: [G,A,o,c]; else [G,A,k,o,c]
