@@ -41,6 +41,7 @@ class SE3TransformerEquiHNNS(nn.Module):
             num_degrees=2,
             valid_radius=5.0,
             num_neighbors=16,
+            dtype=cfg.compute_dtype,
             name="se3_transformer_layer",
         )(
             x,

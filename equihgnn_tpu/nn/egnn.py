@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.knn import knn_graph
 from equihgnn_tpu.ops.numerics import safe_norm
 
@@ -173,7 +174,7 @@ class EGNN(nn.Module):
             pj = pd[garange, nbr_idx]  # [G, A, k, 3]
             rel_coors = pd[:, :, None, :] - pj
             rel_dist = jnp.sum(rel_coors * rel_coors, axis=-1, keepdims=True)
-            feats_j = xd[garange, nbr_idx]
+            feats_j = nbr_gather(xd, nbr_idx, nbr_mask)  # no bwd scatter
             new_xd, new_pd = self._message_pass(
                 xd, pd, rel_coors, rel_dist, feats_j, nbr_mask, deterministic
             )

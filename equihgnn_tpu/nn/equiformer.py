@@ -35,7 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
-from equihgnn_tpu.nn.se3_transformer import _dense_h
+from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.sh import spherical_harmonics
 from equihgnn_tpu.ops.numerics import safe_norm
@@ -224,7 +224,10 @@ class DTP(nn.Module):
                 )
                 h = jnp.where(nbr_mask[..., None], h, 0.0)
                 if self.pool:
-                    x = xj[din][gar, nbr_idx]  # [G, A, k, dim_in, 2din+1]
+                    # matmul-transpose VJP: no backward scatter (ops/gather.py)
+                    x = nbr_gather(
+                        xj[din], nbr_idx, nbr_mask
+                    )  # [G, A, k, dim_in, 2din+1]
                     if self.project_xi_xj:
                         x = x + xi[din][:, :, None]
                     # Σ_J CG contraction with spherical harmonics
@@ -250,10 +253,17 @@ class DTP(nn.Module):
                     )
                     W_aug = jnp.concatenate([W, b[None]], axis=0)  # [f+1,o,i]
                     u_j = jnp.einsum("foi,gjib->gjfob", W_aug, xj[din])
-                    hd = _dense_h(h_aug, nbr_idx, nbr_mask)  # [G, A, A, f+1]
+                    onehot = (
+                        (nbr_idx[..., None]
+                         == jnp.arange(a)[None, None, None, :])
+                        & nbr_mask[..., None]
+                    ).astype(h_aug.dtype)  # [G, A, k, A]
+                    hd = jnp.einsum("gikj,gikf->gijf", onehot, h_aug)
                     vd = jnp.einsum("gijf,gjfob->gijob", hd, u_j)
-                    v = jnp.take_along_axis(
-                        vd, nbr_idx[..., None, None], axis=2
+                    # one-hot matmul, not take_along_axis: the gather's VJP
+                    # is an XLA scatter (~100 ms each on a device trace)
+                    v = jnp.einsum(
+                        "gikj,gijob->gikob", onehot, vd
                     )  # [G, A, k, o, 2din+1]
                     if self.project_xi_xj:
                         u_i = jnp.einsum("foi,gaib->gafob", W_aug, xi[din])

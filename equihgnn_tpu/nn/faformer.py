@@ -32,6 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.eigh3 import eigh3x3
 from equihgnn_tpu.ops.knn import knn_dense
 
@@ -144,7 +145,7 @@ class EdgeModule(nn.Module):
         # token [G, A, d], geo [G, A, 3], nbr_idx/nbr_mask [G, A, k]
         g, a, k = nbr_idx.shape
         gar = jnp.arange(g)[:, None, None]
-        radial = geo[:, :, None, :] - geo[gar, nbr_idx]  # [G, A, k, 3]
+        radial = geo[:, :, None, :] - nbr_gather(geo, nbr_idx, nbr_mask)
         radial_norm = jnp.sum(radial * radial, axis=-1, keepdims=True)
 
         # per-atom local frames over its neighborhood
@@ -161,7 +162,7 @@ class EdgeModule(nn.Module):
         pair = jnp.concatenate(
             [
                 jnp.broadcast_to(token[:, :, None, :], (g, a, k, token.shape[-1])),
-                token[gar, nbr_idx],
+                nbr_gather(token, nbr_idx, nbr_mask),
             ],
             axis=-1,
         )
@@ -239,14 +240,14 @@ class MLPAttnEdgeAggregation(nn.Module):
         )
 
         # attention logits over neighbors
-        message = q_s[:, :, None] + k_s[gar, nbr_idx]  # [G, A, k, nh, dh]
+        message = q_s[:, :, None] + nbr_gather(k_s, nbr_idx, nbr_mask)
         attn = TorchLinear(1, use_bias=False, name="mlp_attn")(message)[..., 0]
         attn = attn + TorchLinear(1, use_bias=False, name="edge_attn")(q_e)[..., 0]
         attn = jnp.where(nbr_mask[..., None], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=2)  # over neighbors
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
-        v_nb = v_s[gar, nbr_idx]  # [G, A, k, nh, dh]
+        v_nb = nbr_gather(v_s, nbr_idx, nbr_mask)  # [G, A, k, nh, dh]
         scalar_ctx = jnp.einsum("gakh,gakhd->gahd", attn, v_nb).reshape(g, a, d)
         edge_ctx = jnp.einsum("gakh,gakhd->gahd", attn, v_e).reshape(g, a, de)
         scalar_out = (
@@ -257,16 +258,23 @@ class MLPAttnEdgeAggregation(nn.Module):
         )
 
         if nh == 1:
-            geo_nb = geo[gar, nbr_idx]  # [G, A, k, 3]
+            geo_nb = nbr_gather(geo, nbr_idx, nbr_mask)  # [G, A, k, 3]
             geo_ctx = jnp.einsum("gakh,gakd->gad", attn, geo_nb)
         else:
             # frame-averaged multi-head aggregation (`:510-567`)
             frames, f_ops, center = create_frame(geo, slot_mask)  # [G, 8, A, 3]
-            geo_nb = frames[
-                jnp.arange(g)[:, None, None, None],
-                jnp.arange(8)[None, :, None, None],
-                nbr_idx[:, None, :, :],
-            ]  # [G, 8, A, k, 3]
+            # [G, 8, A, 3] gathered per (g, frame): fold the 8 frames
+            # into the batch axis so the matmul-transpose VJP applies
+            fr = frames.reshape(g * 8, a, 3)
+            idx8 = jnp.broadcast_to(
+                nbr_idx[:, None], (g, 8) + nbr_idx.shape[1:]
+            ).reshape(g * 8, a, -1)
+            m8 = jnp.broadcast_to(
+                nbr_mask[:, None], (g, 8) + nbr_mask.shape[1:]
+            ).reshape(g * 8, a, -1)
+            geo_nb = nbr_gather(fr, idx8, m8).reshape(
+                g, 8, a, -1, 3
+            )  # [G, 8, A, k, 3]
             geo_ctx = jnp.einsum("gakh,gfakd->gfahd", attn, geo_nb)  # [G,8,A,nh,3]
             w = TorchLinear(1, name="W_frame_agg")(
                 jnp.swapaxes(geo_ctx, -1, -2)  # [G,8,A,3,nh]

@@ -21,6 +21,20 @@ residual (`:187-377`), AttentionSE3 with ConvSE3 keys/values, LinearSE3
 queries and self-attend keys/values joined on the neighbor axis (`:415-608`),
 pre-norm residual attention + FFN blocks (`:380-409,791-845`), exclude-self
 kNN with radius mask, type-0 output (output_degrees=1 → return_type 0).
+
+Round-3 MXU/remat restructure (measured in `scripts/se3_probe.py`):
+  * the per-J Python loop of the unpooled (attention key/value) path ran its
+    node-side einsums at 58 TF/s; batching all J into one einsum with the
+    small input-m axis as the host loop runs at ~148 TF/s;
+  * attention keys and values (two independently-parameterized ConvSE3 in the
+    reference, `:448-474`) are evaluated by one `stack=2` conv sharing the
+    neighbor one-hot and CG·SH tensors;
+  * remat is single-level and surgical: each (degree_in, degree_out) pair is
+    an `nn.remat` submodule (its radial hidden — ~0.4 GB/pair at batch 768 —
+    is recomputed, not saved), with an inner `jax.checkpoint` around each
+    (stack, input-m) step so the ~2.4 GB node-side `u` temps never coexist.
+    The previous design double-rematted (outer block remat × inner
+    checkpoints), recomputing every conv ~2 extra times.
 """
 
 from __future__ import annotations
@@ -65,7 +79,9 @@ class LinearSE3(nn.Module):
                 nn.initializers.normal(stddev=1.0 / sqrt(dim_in)),
                 (dim_in, dim_out),
             )
-            out[degree] = jnp.einsum("...dm,de->...em", x[degree], w)
+            out[degree] = jnp.einsum(
+                "...dm,de->...em", x[degree], w.astype(x[degree].dtype)
+            )
         return out
 
 
@@ -82,20 +98,21 @@ class NormSE3(nn.Module):
         for degree, chan in enumerate(self.fiber):
             t = x[degree]
             norm = jnp.maximum(
-                safe_norm(t, axis=-1, keepdims=True), self.eps
+                safe_norm(t.astype(jnp.float32), axis=-1, keepdims=True),
+                self.eps,
             )
-            phase = t / norm
+            phase = t / norm.astype(t.dtype)
             scale = self.param(f"scale{degree}", nn.initializers.ones, (chan,))
             transformed = norm[..., 0] * scale
             if self.use_gelu:
                 transformed = nn.gelu(transformed)
-            out[degree] = transformed[..., None] * phase
+            out[degree] = transformed.astype(t.dtype)[..., None] * phase
         return out
 
 
 class RadialTrunkSE3(nn.Module):
     """Radial hidden (`se3_transformer_layer.py:311-336` minus the final
-    projection, which `ConvSE3` applies in factorized form — see below)."""
+    projection, which the conv applies in factorized form — see below)."""
 
     mid_dim: int = 128
 
@@ -121,16 +138,123 @@ def _radial_proj_params(mdl, name, f, nc_out, nc_in, num_freq):
     return W, b
 
 
-def _dense_h(h, nbr_idx, nbr_mask):
-    """Scatter per-edge radial hiddens into the dense neighbor matrix:
-    hd[g,i,j,f] = Σ_k 1[nbr(i,k)=j]·h[g,i,k,f] — exact because kNN neighbor
-    lists contain each j at most once. A one-hot MXU matmul, no gathers."""
-    g, a, k, f = h.shape
-    onehot = (
-        (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
-        & nbr_mask[..., None]
-    ).astype(h.dtype)
-    return jnp.einsum("gikj,gikf->gijf", onehot, h)
+class _ConvSE3Pair(nn.Module):
+    """One (degree_in → degree_out) TFN unit; rematted by ConvSE3 so the
+    radial hiddens and all edge-side temps are recomputed in backward."""
+
+    din: int
+    dout: int
+    nc_in: int
+    nc_out: int
+    pool: bool
+    stack: int = 1
+    radial_mid_dim: int = 128
+
+    @nn.compact
+    def __call__(self, xn, nbr_idx, nbr_mask, rel_dist, sh):
+        din, dout, s, f = self.din, self.dout, self.stack, self.radial_mid_dim
+        g, a, k = nbr_idx.shape
+        inc = nbr_mask[..., None, None]
+        js = list(range(abs(din - dout), din + dout + 1))
+        b_in = 2 * din + 1
+        c_out = 2 * dout + 1
+        sfx = [("_%d" % si) if s > 1 else "" for si in range(s)]
+
+        h = jnp.stack(
+            [
+                RadialTrunkSE3(f, name=f"radial{sfx[si]}")(rel_dist)
+                for si in range(s)
+            ],
+            axis=0,
+        )  # [S, G, A, k, f]
+        h = jnp.where(nbr_mask[None, ..., None], h, 0.0)
+        Wb = [
+            _radial_proj_params(
+                self, f"radial{sfx[si]}_out", f, self.nc_out, self.nc_in,
+                len(js),
+            )
+            for si in range(s)
+        ]
+        dt = xn.dtype
+        W = jnp.stack([w for w, _ in Wb]).astype(dt)  # [S, f, o, i, J]
+        bias = jnp.stack([bb for _, bb in Wb]).astype(dt)  # [S, o, i, J]
+        Qs = [jnp.asarray(_cg(din, J, dout), dtype=dt) for J in js]
+
+        # Neighbor one-hot [G, A, k, A]: every neighbor gather below is a
+        # one-hot MXU matmul, NEVER an indexed gather — the backward of a
+        # gather is an XLA scatter-add, which a device trace showed costing
+        # 102 ms per occurrence (~1.2 s/step total) vs <1 ms for the
+        # transposed matmul the one-hot form gets for free.
+        onehot = (
+            (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
+            & nbr_mask[..., None]
+        ).astype(dt)
+
+        if self.pool:
+            # Exact: mean_k[(W·h_k + b)·t_k] = (W·Σ_k h_k⊗t_k + b·Σ_k t_k)/cnt
+            # with t the CG×SH-contracted neighbor feature. Inner checkpoint
+            # per J: the [S,G,A,f,i] M temp (~3 GB at fiber 256) lives alone.
+            xg = jnp.einsum("gakj,gjeb->gakeb", onehot, xn)
+
+            @jax.checkpoint
+            def one_j(Wj, bj, Q, shj, h, xg):
+                tc = jnp.einsum("bmc,gakib,gakm->gakic", Q, xg, shj)
+                tsum = jnp.sum(tc, axis=2)  # [G, A, i, c]
+                per_c = []
+                for c in range(c_out):
+                    M = jnp.einsum("sgakf,gaki->sgafi", h, tc[..., c])
+                    per_c.append(
+                        jnp.einsum("sfoi,sgafi->sgao", Wj, M)
+                        + jnp.einsum("soi,gai->sgao", bj, tsum[..., c])
+                    )
+                return jnp.stack(per_c, axis=-1)
+
+            res = 0.0
+            for jidx, J in enumerate(js):
+                res = res + one_j(
+                    W[..., jidx], bias[..., jidx], Qs[jidx], sh[J], h, xg
+                )
+            cnt = jnp.maximum(
+                jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
+            )[..., None, None]
+            return res / cnt[None].astype(res.dtype)  # [S, G, A, o, c]
+
+        # Unpooled (per-edge outputs for attention keys/values):
+        #   v_e = (W·h_e + b)·x_{j(e)}, then CG×SH per output column.
+        # Node-side u = W·x (16× fewer sites than edges), mixed with h via a
+        # dense one-hot neighbor matmul. One batched einsum over J; host loop
+        # over (input-m, stack) with an inner checkpoint per step so only one
+        # ~2.4 GB u temp is ever live.
+        hd = jnp.einsum("gikj,sgikf->sgijf", onehot, h)
+        # CG-weighted SH, all J at once: [G, A, k, J, b, c]
+        w_sh = jnp.stack(
+            [
+                jnp.einsum("bmc,gakm->gakbc", Qs[jidx], sh[J])
+                for jidx, J in enumerate(js)
+            ],
+            axis=3,
+        )
+
+        @jax.checkpoint
+        def one_sb(Wj, bj, hds, xnb, wshb, onehot):
+            # Wj [J,f,o,i]; hds [G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
+            u = jnp.einsum("Jfoi,gji->gjJfo", Wj, xnb)
+            v = jnp.einsum("gijf,gjJfo->giJjo", hds, u)
+            vk = jnp.einsum("gakj,gaJjo->gaJko", onehot, v)
+            ub = jnp.einsum("oiJ,gji->gjJo", bj, xnb)
+            ubk = jnp.einsum("gakj,gjJo->gaJko", onehot, ub)
+            return jnp.einsum("gaJko,gakJc->gakoc", vk + ubk, wshb)
+
+        Wj = jnp.moveaxis(W, -1, 1)  # [S, J, f, o, i]
+        res = [0.0] * s
+        for si in range(s):
+            for bi in range(b_in):
+                res[si] = res[si] + one_sb(
+                    Wj[si], bias[si], hd[si], xn[..., bi],
+                    w_sh[..., bi, :], onehot,
+                )
+        out = jnp.stack([jnp.where(inc, r, 0.0) for r in res], axis=0)
+        return out  # [S, G, A, k, o, c]
 
 
 class ConvSE3(nn.Module):
@@ -142,12 +266,13 @@ class ConvSE3(nn.Module):
     R_J = W_J·h + b_J (h = radial hidden, f=128):
 
       * pool=True: the neighbor mean commutes with W_J — contract h against
-        neighbors first (M_J[n,f,i,c] = Σ_k h[k,f]·t_J[k,i,c]), then apply
-        W_J once per node.
-      * pool=False: apply W_J to the NODE features first
-        (u_J[n,f,o,a] = Σ_i W_J[f,o,i]·x[n,i,a] — N-side, 16× fewer sites
-        than edges), gather u at neighbors and contract with h per edge in
-        k-chunks, then CG×SH.
+        neighbors first, then apply W_J once per node;
+      * pool=False: apply W_J at the node sites, mix with the per-edge radial
+        hidden through a dense one-hot neighbor matmul, then CG×SH.
+
+    `stack=s` evaluates s independently-parameterized convolutions (e.g.
+    attention keys AND values) inside the same einsums and returns a list.
+    Each (din, dout) pair is an `nn.remat` submodule — see module docstring.
     """
 
     fiber_in: Fiber
@@ -155,6 +280,7 @@ class ConvSE3(nn.Module):
     self_interaction: bool = True
     pool: bool = True
     radial_mid_dim: int = 128
+    stack: int = 1
 
     @nn.compact
     def __call__(
@@ -164,83 +290,35 @@ class ConvSE3(nn.Module):
         nbr_mask,
         rel_dist,  # [G, A, k, 1]
         sh,  # list of [G, A, k, 2J+1]
-    ) -> dict:
-        g, a, k = nbr_idx.shape
-        gar = jnp.arange(g)[:, None, None]
-        f = self.radial_mid_dim
-        inc = nbr_mask[..., None, None]
+    ):
+        s = self.stack
+        pair_cls = nn.remat(_ConvSE3Pair)
 
-        cnt = jnp.maximum(
-            jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
-        )[..., None, None]
-
-        outputs = {}
+        outputs = [{} for _ in range(s)]
         for dout, nc_out in enumerate(self.fiber_out):
             acc = None
             for din, nc_in in enumerate(self.fiber_in):
-                js = list(range(abs(din - dout), din + dout + 1))
-                h = RadialTrunkSE3(f, name=f"radial_{din}_{dout}")(rel_dist)
-                h = jnp.where(nbr_mask[..., None], h, 0.0)  # [G, A, k, f]
-                W, b = _radial_proj_params(
-                    self, f"radial_{din}_{dout}_out", f, nc_out, nc_in, len(js)
-                )
-                xn = inp[din]  # [G, A, nc_in, 2din+1]
-
-                term = None
-                if self.pool:
-                    # per-(J, c) checkpoint: each unit's M[·, f, i] temp
-                    # (~GBs at fiber 256) lives alone and is recomputed in
-                    # backward instead of coexisting across J/c
-                    @jax.checkpoint
-                    def one_pooled(Wj, bj, Qc, shj, h=h, xn=xn):
-                        xg = jnp.where(inc, xn[gar, nbr_idx], 0.0)
-                        tc = jnp.einsum("bm,gakib,gakm->gaki", Qc, xg, shj)
-                        M = jnp.einsum("gakf,gaki->gafi", h, tc)
-                        return jnp.einsum("foi,gafi->gao", Wj, M) + jnp.einsum(
-                            "oi,gai->gao", bj, jnp.sum(tc, axis=2)
-                        )
-
-                    for jidx, J in enumerate(js):
-                        Q = jnp.asarray(_cg(din, J, dout))
-                        cs = [
-                            one_pooled(W[..., jidx], b[..., jidx], Q[:, :, c], sh[J])
-                            for c in range(Q.shape[2])
-                        ]
-                        contrib = jnp.stack(cs, axis=-1) / cnt
-                        term = contrib if term is None else term + contrib
-                else:
-                    hd = _dense_h(h, nbr_idx, nbr_mask)  # [G, A, A, f]
-
-                    # per-J checkpoint: u [N, f, o, b] (≤1.7 GB) and the
-                    # dense mix live one J at a time, recomputed in backward
-                    @jax.checkpoint
-                    def one_j(Wj, bj, Q, shj, hd=hd, xn=xn):
-                        u = jnp.einsum("foi,gjib->gjfob", Wj, xn)
-                        v_dense = jnp.einsum("gijf,gjfob->gijob", hd, u)
-                        vk = jnp.take_along_axis(
-                            v_dense, nbr_idx[..., None, None], axis=2
-                        )  # [G, A, k, o, b]
-                        ub = jnp.einsum("oi,gjib->gjob", bj, xn)
-                        vk = vk + ub[gar, nbr_idx]
-                        return jnp.einsum("bmc,gakob,gakm->gakoc", Q, vk, shj)
-
-                    for jidx, J in enumerate(js):
-                        Q = jnp.asarray(_cg(din, J, dout))
-                        contrib = one_j(W[..., jidx], b[..., jidx], Q, sh[J])
-                        term = contrib if term is None else term + contrib
-                    term = jnp.where(inc, term, 0.0)
+                term = pair_cls(
+                    din=din, dout=dout, nc_in=nc_in, nc_out=nc_out,
+                    pool=self.pool, stack=s,
+                    radial_mid_dim=self.radial_mid_dim,
+                    name=f"pair_{din}_{dout}",
+                )(inp[din], nbr_idx, nbr_mask, rel_dist, sh)
                 acc = term if acc is None else acc + term
-            outputs[dout] = acc  # pooled: [G,A,o,c]; else [G,A,k,o,c]
+            for si in range(s):
+                outputs[si][dout] = acc[si]
 
         if self.pool and self.self_interaction:
-            si = LinearSE3(self.fiber_in, self.fiber_out, name="self_interact")(
-                inp
-            )
-            outputs = {
-                d: outputs[d] + si[d] if d in si else outputs[d]
-                for d in outputs
-            }
-        return outputs
+            for si in range(s):
+                siw = LinearSE3(
+                    self.fiber_in, self.fiber_out,
+                    name=f"self_interact{('_%d' % si) if s > 1 else ''}",
+                )(inp)
+                outputs[si] = {
+                    d: outputs[si][d] + siw[d] if d in siw else outputs[si][d]
+                    for d in outputs[si]
+                }
+        return outputs[0] if s == 1 else outputs
 
 
 class FeedForwardSE3(nn.Module):
@@ -259,7 +337,11 @@ class FeedForwardSE3(nn.Module):
 
 
 class AttentionSE3(nn.Module):
-    """`se3_transformer_layer.py:415-608` (heads, ConvSE3 keys+values)."""
+    """`se3_transformer_layer.py:415-608` (heads, ConvSE3 keys+values).
+
+    Keys and values keep their separate parameters (the reference builds two
+    ConvSE3) but are computed by one stack=2 conv sharing the neighbor
+    one-hot and CG·SH tensors."""
 
     fiber: Fiber
     dim_head: int = 24
@@ -274,13 +356,9 @@ class AttentionSE3(nn.Module):
         scale = dh**-0.5
 
         queries = LinearSE3(self.fiber, hidden_fiber, name="to_q")(features)
-        values = ConvSE3(
+        keys, values = ConvSE3(
             self.fiber, hidden_fiber, pool=False, self_interaction=False,
-            name="to_v",
-        )(features, nbr_idx, nbr_mask, rel_dist, sh)
-        keys = ConvSE3(
-            self.fiber, hidden_fiber, pool=False, self_interaction=False,
-            name="to_k",
+            stack=2, name="to_kv",
         )(features, nbr_idx, nbr_mask, rel_dist, sh)
 
         if self.attend_self:
@@ -309,8 +387,10 @@ class AttentionSE3(nn.Module):
             kk = kk.reshape(ga + (K, h, dh, m))
             vv = vv.reshape(ga + (K, h, dh, m))
             sim = jnp.einsum("gahdm,gakhdm->gahk", q, kk) * scale
-            sim = jnp.where(nbr_mask[:, :, None, :], sim, -1e9)
-            attn = jax.nn.softmax(sim, axis=-1)
+            sim = jnp.where(
+                nbr_mask[:, :, None, :], sim.astype(jnp.float32), -1e9
+            )
+            attn = jax.nn.softmax(sim, axis=-1).astype(vv.dtype)
             out = jnp.einsum("gahk,gakhdm->gahdm", attn, vv)
             outputs[degree] = out.reshape(ga + (h * dh, m))
 
@@ -333,7 +413,7 @@ class SE3Transformer(nn.Module):
     valid_radius: float = 1e5
     num_neighbors: int = 16
     attend_self: bool = True
-    remat_blocks: bool = True  # recompute block edge tensors in backward
+    dtype: str | None = None  # e.g. "bfloat16": compute dtype (params f32)
 
     @nn.compact
     def __call__(
@@ -366,22 +446,21 @@ class SE3Transformer(nn.Module):
         rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]
         max_j = 2 * (self.num_degrees - 1)
         sh = spherical_harmonics(max_j, rel_pos)
-
-        # per-block remat: backward recomputes one block's per-edge tensors
-        # at a time instead of saving every block's (OOM at batch 768 on a
-        # 16 GB chip)
-        conv_cls = nn.remat(ConvSE3) if self.remat_blocks else ConvSE3
-        attn_cls = nn.remat(AttentionSE3) if self.remat_blocks else AttentionSE3
+        if self.dtype is not None:
+            dt = jnp.dtype(self.dtype)
+            fd = fd.astype(dt)
+            rel_dist = rel_dist.astype(dt)
+            sh = [t.astype(dt) for t in sh]
 
         x = {0: fd[..., None]}
-        x = conv_cls(fiber_in, fiber_hidden, name="conv_in")(
+        x = ConvSE3(fiber_in, fiber_hidden, name="conv_in")(
             x, nbr_idx, nbr_mask, rel_dist, sh
         )
 
         for i in range(self.depth):
             res = x
             out = NormSE3(fiber_hidden, name=f"attn_prenorm_{i}")(x)
-            out = attn_cls(
+            out = AttentionSE3(
                 fiber_hidden,
                 dim_head=self.dim_head,
                 heads=self.heads,
@@ -394,9 +473,9 @@ class SE3Transformer(nn.Module):
             out = FeedForwardSE3(fiber_hidden, name=f"ff_{i}")(out)
             x = {d: out[d] + res[d] for d in out}
 
-        x = conv_cls(fiber_hidden, fiber_out, name="conv_out")(
+        x = ConvSE3(fiber_hidden, fiber_out, name="conv_out")(
             x, nbr_idx, nbr_mask, rel_dist, sh
         )
 
-        type0 = x[0][..., 0]  # [G, A, dim]
+        type0 = x[0][..., 0].astype(jnp.float32)  # [G, A, dim]
         return type0[graph_id, atom_slot]

@@ -35,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.encoders import AtomEncoder
+from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.numerics import safe_norm
 
@@ -211,9 +212,10 @@ class ViS_MP(nn.Module):
             & nbr_mask[..., None]
         ).astype(x.dtype)
 
-        # ---- message over neighbors
-        k_j = kk[gar, nbr_idx]  # [G, A, k, h]
-        v_j = v[gar, nbr_idx]
+        # ---- message over neighbors (nbr_gather: matmul-transpose VJP,
+        # no backward scatter — ops/gather.py)
+        k_j = nbr_gather(kk, nbr_idx, nbr_mask)  # [G, A, k, h]
+        v_j = nbr_gather(v, nbr_idx, nbr_mask)
         prod = q[:, :, None, :] * k_j * dk  # [G, A, k, h]
         attn = prod.reshape(g, a, k, nh, hd).sum(-1)  # per-head reduce only
         attn = nn.silu(attn) * cosine_cutoff(r_ij, self.cutoff)[..., None]
@@ -363,7 +365,7 @@ class ViSNet(nn.Module):
         ne_mask = nbr_mask & ~is_self
         C = cosine_cutoff(r_ij, self.cutoff)
         W = _Proj(h, name="neighbor_distance_proj")(f_rbf) * C[..., None]
-        x_j = x[gar, nbr_idx]
+        x_j = nbr_gather(x, nbr_idx, nbr_mask)
         x_nbr = jnp.sum(
             jnp.where(ne_mask[..., None], x_j * W, 0.0), axis=2
         )
@@ -371,7 +373,7 @@ class ViSNet(nn.Module):
 
         vec = jnp.zeros((g_, a_, L, h), x.dtype)
         # EdgeEmbedding (`visnet_layer.py:430-469`)
-        x_jn = x[gar, nbr_idx]
+        x_jn = nbr_gather(x, nbr_idx, nbr_mask)
         f_ij = (x[:, :, None] + x_jn) * _Proj(h, name="edge_proj")(f_rbf)
 
         # per-layer remat: backward recomputes the [G,A,k,·] edge tensors of

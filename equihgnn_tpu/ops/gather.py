@@ -1,0 +1,65 @@
+"""Neighbor gather with a matmul transpose (no XLA scatter in backward).
+
+`x[gar, nbr_idx]` differentiates to a scatter-add over the neighbor indices;
+XLA lowers TPU scatters to near-serial updates — a device trace of the SE3
+encoder showed 102 ms per backward scatter (~1.2 s/step) vs <1 ms for the
+algebraically identical one-hot matmul. `nbr_gather` keeps the cheap gather
+in forward and uses the one-hot contraction
+    grad_x[g, j, f] = Σ_{a,k} 1[nbr_idx[g,a,k] = j] · grad_out[g, a, k, f]
+in backward (exact: scatter-add ≡ transposed one-hot matmul, duplicates sum).
+
+Used by every dense-layout geometric encoder (EGNN / Equiformer / SE3 /
+ViSNet / FAFormer replace `torch_geometric` gathers of
+`reference equihgnn/models/layers/*_layer.py`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def nbr_gather(x, nbr_idx, nbr_mask):
+    """Gather rows of x at per-site neighbor indices.
+
+    Args:
+      x: [G, A, *F] per-slot values (differentiable).
+      nbr_idx: [G, A, k] int32 neighbor slot indices.
+      nbr_mask: [G, A, k] bool validity, or None. When given, invalid entries
+        are zeroed (forward and backward); when None, all entries count.
+
+    Returns: [G, A, k, *F].
+    """
+    out, _ = _fwd(x, nbr_idx, nbr_mask)
+    return out
+
+
+def _fwd(x, nbr_idx, nbr_mask):
+    g = x.shape[0]
+    gar = jnp.arange(g)[:, None, None]
+    out = x[gar, nbr_idx]
+    if nbr_mask is not None:
+        out = jnp.where(
+            nbr_mask.reshape(nbr_mask.shape + (1,) * (out.ndim - 3)),
+            out, 0,
+        )
+    return out, (nbr_idx, nbr_mask, x.shape)
+
+
+def _bwd(res, ct):
+    nbr_idx, nbr_mask, x_shape = res
+    g, a = x_shape[0], x_shape[1]
+    k = nbr_idx.shape[2]
+    onehot = nbr_idx[..., None] == jnp.arange(a)[None, None, None, :]
+    if nbr_mask is not None:
+        onehot = onehot & nbr_mask[..., None]
+    onehot = onehot.astype(ct.dtype).reshape(g, a * k, a)
+    ctf = ct.reshape(g, a * k, -1)
+    gx = jnp.einsum("gej,gef->gjf", onehot, ctf).reshape(x_shape)
+    return gx, None, None
+
+
+nbr_gather.defvjp(_fwd, _bwd)

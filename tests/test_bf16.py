@@ -11,7 +11,9 @@ from equihgnn_tpu.data.synthetic import make_synthetic_dataset
 from equihgnn_tpu.models.config import ModelConfig
 
 
-@pytest.mark.parametrize("name", ["mhnns", "egnn_equihnns"])
+@pytest.mark.parametrize(
+    "name", ["mhnns", "egnn_equihnns", "se3_transformer_equihnns"]
+)
 def test_bf16_close_to_f32(name):
     samples = make_synthetic_dataset(6, seed=5)
     spec = spec_for_samples(samples, batch_size=6)
