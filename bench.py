@@ -100,9 +100,8 @@ def bench_method(method: str, epochs: int = 5) -> dict:
     from equihgnn_tpu.models.config import ModelConfig
 
     # packed slot rows: ~25% faster than per-molecule rows (same numerics,
-    # tests/test_packed_rows.py); faformer's frame averaging needs
-    # per-molecule rows (DECISIONS.md)
-    pack_slots = not method.startswith("faformer")
+    # tests/test_packed_rows.py); frame averaging groups by slot_gid
+    pack_slots = True
     batches, mols_per_batch = _make_batches(pack_slots)
 
     cfg = ModelConfig(

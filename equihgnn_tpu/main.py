@@ -130,7 +130,7 @@ def run(args) -> dict:
     all_samples = train_s + valid_s + test_s
     spec = spec_for_samples(all_samples, batch_size=args.batch_size)
     pack = bool(args.pack_slots) and hyper and args.method.startswith(
-        ("egnn", "visnet", "equiformer", "se3")
+        ("egnn", "visnet", "equiformer", "se3", "faformer")
     )
     if hyper:
         make_empty = lambda: pad_hypergraph_batch(
@@ -320,7 +320,7 @@ def _run_streaming(args) -> dict:
         per_split = {k: [(v, spec)] for k, v in splits.items()}
 
     pack = bool(args.pack_slots) and args.method.startswith(
-        ("egnn", "visnet", "equiformer", "se3")
+        ("egnn", "visnet", "equiformer", "se3", "faformer")
     )
 
     def loader(split, shuffle, epoch=0):

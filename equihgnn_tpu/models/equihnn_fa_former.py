@@ -28,11 +28,6 @@ class _FAFormerBase(nn.Module):
                 "faformer_equihnn* models need 3-D coordinates and the dense "
                 "per-molecule view: build batches with with_pos=True"
             )
-        if not batch.rows_are_molecules:
-            raise ValueError(
-                "faformer_equihnn* models need per-molecule slot rows (frame "
-                "averaging is per molecule): build batches with pack_slots=False"
-            )
         from equihgnn_tpu.models.common import cast_compute
 
         x = AtomEncoder(cfg.mlp_hidden, name="atom_encoder")(batch.atom_feat)
@@ -48,18 +43,21 @@ class _FAFormerBase(nn.Module):
             activation="swiglu",
             name="fa_former",
         )
-        args = (
-            x, pos, batch.atom_graph_id, batch.slot_index, batch.slot_mask,
-            batch.atom_slot,
+        row = (
+            batch.atom_graph_id if batch.atom_row is None else batch.atom_row
         )
+        args = (
+            x, pos, row, batch.slot_index, batch.slot_mask, batch.atom_slot,
+        )
+        kw = dict(slot_gid=batch.slot_gid, num_graphs=batch.num_graphs)
         if cfg.remat:
             # close over `deterministic` so it stays a static Python bool
             def fwd(mdl, *a):
-                return mdl(*a, deterministic=deterministic)
+                return mdl(*a, deterministic=deterministic, **kw)
 
             x, _ = nn.remat(fwd)(fa, *args)
         else:
-            x, _ = fa(*args, deterministic=deterministic)
+            x, _ = fa(*args, deterministic=deterministic, **kw)
         return x
 
 

@@ -43,22 +43,9 @@ _SIGN_OPS = np.array(
 )
 
 
-def create_frame(coords, mask):
-    """Build the 8 PCA sign frames for each point set.
-
-    coords [..., P, 3], mask [..., P] → (projected [..., 8, P, 3],
-    F_ops [..., 8, 3, 3], center [..., 3]).  Gradients flow through the
-    coordinates but not the eigenvectors (covariance is stop-gradient,
-    `fa_former_layer.py:100-102`).
-    """
-    m = mask[..., None].astype(coords.dtype)
-    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # [..., 1]
-    center = jnp.sum(coords * m, axis=-2) / cnt  # [..., 3]
-    x = (coords - center[..., None, :]) * m  # masked centering
-    cov = jnp.einsum("...pi,...pj->...ij", x, x)
-    cov = jax.lax.stop_gradient(cov)
-    # guard degenerate (all-masked) sets: eigh of I is well-defined
-    deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
+def _sign_frames(cov, deg):
+    """cov [..., 3, 3] (stop-gradient), deg [..., 1, 1] bool → F_ops
+    [..., 8, 3, 3] from the 2³ sign flips of the PCA eigenvectors."""
     cov = jnp.where(deg, jnp.eye(3, dtype=cov.dtype), cov)
     # analytic 3x3 eigensolver: jnp.linalg.eigh's iterative lowering costs
     # ~82 ms per [24k,3,3] batch on the v5e and dominates the FAFormer step
@@ -66,18 +53,66 @@ def create_frame(coords, mask):
     _, eigvec = eigh3x3(cov)  # [..., 3, 3], columns = eigenvectors
     ops = jnp.asarray(_SIGN_OPS)  # [8, 3]
     # F_ops[..., o, i, j] = ops[o, j] * eigvec[..., i, j]
-    f_ops = ops[:, None, :] * eigvec[..., None, :, :]  # [..., 8, 3, 3]
-    # project: h[..., o, p, i] = Σ_j F_ops[..., o, j, i] x[..., p, j]
-    h = jnp.einsum("...oji,...pj->...opi", f_ops, x)
+    return ops[:, None, :] * eigvec[..., None, :, :]  # [..., 8, 3, 3]
+
+
+def create_frame(coords, mask, slot_gid=None, num_graphs=None):
+    """Build the 8 PCA sign frames for each point set.
+
+    coords [..., P, 3], mask [..., P] → (projected [..., 8, P, 3],
+    F_ops [..., 8, 3, 3], center [..., 3]).  Gradients flow through the
+    coordinates but not the eigenvectors (covariance is stop-gradient,
+    `fa_former_layer.py:100-102`).
+
+    Packed-row mode (slot_gid [R, P] molecule ids, -1 = pad; num_graphs=B):
+    frame statistics are per MOLECULE, grouped through a one-hot [R, P, B]
+    matmul (never a scatter), and the returned F_ops/center are per SLOT:
+    ([R, 8, P, 3], [R, P, 8, 3, 3], [R, P, 3]).  `invert_frame` accepts both.
+    """
+    if slot_gid is None:
+        m = mask[..., None].astype(coords.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # [..., 1]
+        center = jnp.sum(coords * m, axis=-2) / cnt  # [..., 3]
+        x = (coords - center[..., None, :]) * m  # masked centering
+        cov = jax.lax.stop_gradient(
+            jnp.einsum("...pi,...pj->...ij", x, x)
+        )
+        deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
+        f_ops = _sign_frames(cov, deg)
+        # project: h[..., o, p, i] = Σ_j F_ops[..., o, j, i] x[..., p, j]
+        h = jnp.einsum("...oji,...pj->...opi", f_ops, x)
+        return h, f_ops, center
+
+    # molecule-grouped statistics on packed slot rows
+    ohg = (
+        (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
+        & mask[..., None]
+    ).astype(coords.dtype)  # [R, P, B]
+    cnt = jnp.maximum(jnp.einsum("rpb->b", ohg), 1.0)  # [B]
+    center_g = jnp.einsum("rpb,rpd->bd", ohg, coords) / cnt[:, None]
+    center = jnp.einsum("rpb,bd->rpd", ohg, center_g)  # per-slot (0 at pad)
+    x = (coords - center) * mask[..., None].astype(coords.dtype)
+    cov_g = jax.lax.stop_gradient(jnp.einsum("rpb,rpi,rpj->bij", ohg, x, x))
+    deg = (cnt < 0.5)[:, None, None]
+    f_ops_g = _sign_frames(cov_g, deg)  # [B, 8, 3, 3]
+    f_ops = jnp.einsum("rpb,boij->rpoij", ohg, f_ops_g)  # per-slot
+    h = jnp.einsum("rpoji,rpj->ropi", f_ops, x)  # [R, 8, P, 3]
     return h, f_ops, center
 
 
 def invert_frame(x, mask, f_ops, center):
     """Average frame-local vectors back to the global frame
-    (`fa_former_layer.py:114-120`). x [..., 8, P, 3] → [..., P, 3]."""
-    out = jnp.einsum("...oij,...opj->...opi", f_ops, x)
-    out = jnp.mean(out, axis=-3)
-    out = out + center[..., None, :]
+    (`fa_former_layer.py:114-120`). x [..., 8, P, 3] → [..., P, 3].
+
+    With per-slot frames (f_ops [R, P, 8, 3, 3], center [R, P, 3] from the
+    packed-row mode of `create_frame`), the averaging is per slot."""
+    if f_ops.ndim == x.ndim + 1:  # per-slot frames (packed rows)
+        out = jnp.einsum("rpoij,ropj->ropi", f_ops, x)
+        out = jnp.mean(out, axis=-3) + center
+    else:
+        out = jnp.einsum("...oij,...opj->...opi", f_ops, x)
+        out = jnp.mean(out, axis=-3)
+        out = out + center[..., None, :]
     if mask is not None:
         out = out * mask[..., None].astype(out.dtype)
     return out
@@ -182,9 +217,12 @@ class FAFFN(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, token, geo, slot_mask, deterministic=True):
+    def __call__(self, token, geo, slot_mask, deterministic=True,
+                 slot_gid=None, num_graphs=None):
         token = nn.LayerNorm(name="ln")(token)
-        frames, _, _ = create_frame(geo, slot_mask)  # [G, 8, A, 3]
+        frames, _, _ = create_frame(
+            geo, slot_mask, slot_gid, num_graphs
+        )  # [G, 8, A, 3]
         h = _mlp(
             self.d_model, self.d_model, self.activation, self.proj_drop, "W_frame"
         )(frames, deterministic)
@@ -209,7 +247,7 @@ class MLPAttnEdgeAggregation(nn.Module):
     @nn.compact
     def __call__(
         self, token, geo, edge_feats, nbr_idx, nbr_mask, slot_mask,
-        deterministic=True,
+        deterministic=True, slot_gid=None, num_graphs=None,
     ):
         d, de, nh = self.d_model, self.d_edge_model, self.n_heads
         dh, deh = d // nh, de // nh
@@ -262,7 +300,9 @@ class MLPAttnEdgeAggregation(nn.Module):
             geo_ctx = jnp.einsum("gakh,gakd->gad", attn, geo_nb)
         else:
             # frame-averaged multi-head aggregation (`:510-567`)
-            frames, f_ops, center = create_frame(geo, slot_mask)  # [G, 8, A, 3]
+            frames, f_ops, center = create_frame(
+                geo, slot_mask, slot_gid, num_graphs
+            )  # [G, 8, A, 3]
             # [G, 8, A, 3] gathered per (g, frame): fold the 8 frames
             # into the batch axis so the matmul-transpose VJP applies
             fr = frames.reshape(g * 8, a, 3)
@@ -299,19 +339,20 @@ class FAFormerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(
         self, token, geo, edge_feats, nbr_idx, nbr_mask, slot_mask,
-        deterministic=True,
+        deterministic=True, slot_gid=None, num_graphs=None,
     ):
         token, geo = MLPAttnEdgeAggregation(
             self.d_model, self.d_edge_model, self.n_heads,
             self.proj_drop, self.attn_drop, self.activation, name="self_attn",
-        )(token, geo, edge_feats, nbr_idx, nbr_mask, slot_mask, deterministic)
+        )(token, geo, edge_feats, nbr_idx, nbr_mask, slot_mask, deterministic,
+          slot_gid, num_graphs)
         edge_feats = edge_feats + EdgeModule(
             self.d_model, self.d_edge_model, self.proj_drop, self.activation,
             name="edge_module",
         )(token, geo, nbr_idx, nbr_mask, deterministic)
         token = token + FAFFN(
             self.d_model, self.proj_drop, self.activation, name="ffn"
-        )(token, geo, slot_mask, deterministic)
+        )(token, geo, slot_mask, deterministic, slot_gid, num_graphs)
         return token, geo, edge_feats
 
 
@@ -338,11 +379,13 @@ class FAFormer(nn.Module):
         self,
         features,  # [N, d_input]
         coords,  # [N, 3]
-        graph_id,  # [N]
+        graph_id,  # [N] dense row per atom
         slot_index,  # [G, A]
         slot_mask,  # [G, A]
         atom_slot,  # [N]
         deterministic: bool = True,
+        slot_gid=None,  # [R, A] molecule id per slot (packed rows)
+        num_graphs: int | None = None,  # required with slot_gid
     ):
         sm = slot_mask
         g_, a_ = sm.shape
@@ -357,6 +400,7 @@ class FAFormer(nn.Module):
             geo, sm, k,
             valid_radius=self.valid_radius, squared_radius=False,
             exclude_self=True,  # `_build_graph` excludes self (`:651-656`)
+            slot_gid=slot_gid,
         )
 
         edge_feats = EdgeModule(
@@ -368,6 +412,7 @@ class FAFormer(nn.Module):
                 self.d_model, self.d_edge_model, self.n_heads,
                 self.proj_drop, self.attn_drop, self.activation,
                 name=f"layers_{i}",
-            )(td, geo, edge_feats, nbr_idx, nbr_mask, sm, deterministic)
+            )(td, geo, edge_feats, nbr_idx, nbr_mask, sm, deterministic,
+              slot_gid, num_graphs)
 
         return td[graph_id, atom_slot], geo[graph_id, atom_slot]

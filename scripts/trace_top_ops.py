@@ -72,51 +72,44 @@ def main():
     assert xplanes, f"no xplane under {trace_dir}"
     xplane = max(xplanes, key=os.path.getmtime)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rd
+    # parse the xplane directly (tensorboard_plugin_profile's converter is
+    # incompatible with the installed TF); aggregate the "XLA Ops" line
+    import re
+    from collections import defaultdict
 
-    data, _ = rd.xspace_to_tool_data([xplane], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = gzip.decompress(data).decode()
-    table = json.loads(data)
-    # GViz table: {cols: [...], rows: [{c: [{v: ...}...]}...]}
-    cols = [c["label"] for c in table[0]["cols"]] if isinstance(table, list) else [
-        c["label"] for c in table["cols"]
-    ]
-    rows = (table[0] if isinstance(table, list) else table)["rows"]
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    def col(name):
-        for i, c in enumerate(cols):
-            if name.lower() in c.lower():
-                return i
-        raise KeyError(f"{name} not in {cols}")
-
-    i_name = col("HLO op name")
-    try:
-        i_cat = col("HLO op category")
-    except KeyError:
-        i_cat = None
-    i_self = col("Total self time (us)")
-    try:
-        i_occ = col("occurrences")
-    except KeyError:
-        i_occ = None
-
-    parsed = []
-    for r in rows:
-        c = r["c"]
-        parsed.append(
-            (
-                float(c[i_self]["v"] or 0),
-                (c[i_cat]["v"] if i_cat is not None else "?"),
-                c[i_name]["v"],
-                int(c[i_occ]["v"] or 0) if i_occ is not None else 0,
-            )
-        )
-    parsed.sort(reverse=True)
-    total = sum(p[0] for p in parsed)
-    print(f"total device self time: {total/1e3:.1f} ms  (cols: {cols})")
-    for t, cat, name, occ in parsed[:n_top]:
-        print(f"{t/1e3:9.2f} ms  {100*t/total:5.1f}%  x{occ:<4d} [{cat}] {name[:110]}")
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as fh:
+        xs.ParseFromString(fh.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        evmeta = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg = defaultdict(lambda: [0.0, 0])
+            cat = defaultdict(float)
+            total = 0.0
+            for ev in line.events:
+                name = evmeta[ev.metadata_id].name
+                d = ev.duration_ps / 1e9
+                m = re.match(r"%?([a-zA-Z\-_]+)", name)
+                cat[m.group(1) if m else "?"] += d
+                agg[name][0] += d
+                agg[name][1] += 1
+                total += d
+            n_steps_tr = 3 * len(batches)
+            print(f"TOTAL {total:.0f} ms / {n_steps_tr} steps = "
+                  f"{total/n_steps_tr:.1f} ms/step")
+            for c, t in sorted(cat.items(), key=lambda kv: -kv[1])[:12]:
+                print(f"  cat {c:26s} {t/n_steps_tr:8.2f} ms/step "
+                      f"{100*t/total:5.1f}%")
+            print("top ops:")
+            top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:n_top]
+            for name, (t, n) in top:
+                print(f"  {t/n_steps_tr:7.2f} ms/step x{n:<5d} {name[:120]}")
 
 
 if __name__ == "__main__":

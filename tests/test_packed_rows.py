@@ -40,7 +40,7 @@ def test_packing_reduces_rows():
 @pytest.mark.parametrize(
     "name",
     ["egnn_equihnns", "visnet_equihnns", "equiformer_equihnns",
-     "se3_transformer_equihnns"],
+     "se3_transformer_equihnns", "faformer_equihnns"],
 )
 def test_packed_rows_match_unpacked(name):
     unpacked, packed, _ = _batches()
@@ -56,11 +56,34 @@ def test_packed_rows_match_unpacked(name):
     )
 
 
-def test_faformer_rejects_packed_rows():
-    _, packed, _ = _batches()
-    model = create_model(
-        "faformer_equihnns", num_target=1,
-        cfg=ModelConfig(mlp_hidden=16, output_hidden=8),
-    )
-    with pytest.raises(ValueError, match="per-molecule slot rows"):
-        model.init(jax.random.PRNGKey(0), packed, deterministic=True)
+def test_faformer_packed_frames_match():
+    """Frame averaging on packed rows groups statistics by slot_gid; the
+    per-molecule frames must equal the per-row computation exactly."""
+    import numpy as np
+
+    from equihgnn_tpu.nn.faformer import create_frame
+
+    unpacked, packed, _ = _batches()
+    h_u, _, _ = create_frame(unpacked.pos[unpacked.slot_index]
+                             * unpacked.slot_mask[..., None],
+                             unpacked.slot_mask)
+    h_p, _, _ = create_frame(packed.pos[packed.slot_index]
+                             * packed.slot_mask[..., None],
+                             packed.slot_mask, packed.slot_gid,
+                             packed.num_graphs)
+    # compare per real atom: unpacked (gid row, slot) vs packed (row, slot)
+    um = np.asarray(unpacked.slot_mask)
+    gids = np.where(um)[0]
+    slots = np.where(um)[1]
+    pm = np.asarray(packed.slot_mask)
+    prow, pslot = np.where(pm)
+    pgid = np.asarray(packed.slot_gid)[prow, pslot]
+    order_u = np.asarray(unpacked.slot_index)[gids, slots]
+    order_p = np.asarray(packed.slot_index)[prow, pslot]
+    hu = np.asarray(h_u)[gids[:, None], :, slots[:, None]][
+        np.argsort(order_u)
+    ]
+    hp = np.asarray(h_p)[prow[:, None], :, pslot[:, None]][
+        np.argsort(order_p)
+    ]
+    np.testing.assert_allclose(hu, hp, rtol=1e-4, atol=1e-5)
