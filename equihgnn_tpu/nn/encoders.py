@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from equihgnn_tpu.ops.gather import embed_gather
+
 from equihgnn_tpu.data.structures import (
     ATOM_FEATURE_DIMS,
     BOND_FEATURE_DIMS,
@@ -41,7 +43,8 @@ class _MultiEmbeddingSum(nn.Module):
             (total, self.emb_dim),
         )
         idx = x + jnp.asarray(offsets)
-        return jnp.sum(table[idx], axis=-2)
+        # embed_gather: matmul-transpose VJP, no backward scatter
+        return jnp.sum(embed_gather(table, idx), axis=-2)
 
 
 class AtomEncoder(nn.Module):

@@ -63,3 +63,30 @@ def _bwd(res, ct):
 
 
 nbr_gather.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def embed_gather(table, idx):
+    """Embedding lookup `table[idx]` whose VJP is a one-hot matmul.
+
+    table [V, D], idx [...] int → [..., D].  The standard gather's backward
+    is an XLA scatter-add into the table (~1.4 ms per encoder step on a
+    device trace); the transposed one-hot contraction is an MXU matmul.
+    """
+    return table[idx]
+
+
+def _eg_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _eg_bwd(res, ct):
+    idx, tshape = res
+    v = tshape[0]
+    flat_idx = idx.reshape(-1)
+    onehot = (flat_idx[:, None] == jnp.arange(v)[None, :]).astype(ct.dtype)
+    ctf = ct.reshape(flat_idx.shape[0], tshape[1])
+    return jnp.einsum("ev,ed->vd", onehot, ctf), None
+
+
+embed_gather.defvjp(_eg_fwd, _eg_bwd)
