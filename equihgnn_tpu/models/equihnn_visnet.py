@@ -31,6 +31,7 @@ class _ViSNetBase(nn.Module):
         visnet_cls = nn.remat(ViSNet) if cfg.remat else ViSNet
         return visnet_cls(
             hidden_channels=cfg.mlp_hidden,
+            dtype=cfg.compute_dtype,
             lmax=2,
             max_num_neighbors=16,
             name="visnet_layer",

@@ -51,9 +51,10 @@ class _Proj(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", _xavier, (x.shape[-1], self.features))
-        y = jnp.dot(x, k)
+        y = jnp.dot(x, k.astype(x.dtype))
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -148,7 +149,7 @@ class VecLayerNorm(nn.Module):
                 vec = jnp.concatenate([v1, v2], axis=-2)
             else:
                 vec = self._max_min(vec)
-        return vec * w
+        return vec * w.astype(vec.dtype)
 
 
 class ViS_MP(nn.Module):
@@ -188,7 +189,8 @@ class ViS_MP(nn.Module):
         g, a, k = nbr_idx.shape
         gar = jnp.arange(g)[:, None, None]
 
-        x = nn.LayerNorm(name="layernorm")(x)
+        dt_in = x.dtype
+        x = nn.LayerNorm(name="layernorm")(x).astype(dt_in)
         vec = VecLayerNorm(
             h, trainable=self.trainable_vecnorm, norm_type=self.vecnorm_type,
             name="vec_layernorm",
@@ -218,7 +220,9 @@ class ViS_MP(nn.Module):
         v_j = nbr_gather(v, nbr_idx, nbr_mask)
         prod = q[:, :, None, :] * k_j * dk  # [G, A, k, h]
         attn = prod.reshape(g, a, k, nh, hd).sum(-1)  # per-head reduce only
-        attn = nn.silu(attn) * cosine_cutoff(r_ij, self.cutoff)[..., None]
+        attn = nn.silu(attn) * cosine_cutoff(r_ij, self.cutoff).astype(
+            attn.dtype
+        )[..., None]
         attn = jnp.where(nbr_mask[..., None], attn, 0.0)  # [G, A, k, nh]
         attn_h = jnp.broadcast_to(
             attn[..., None], (g, a, k, nh, hd)
@@ -319,6 +323,7 @@ class ViSNet(nn.Module):
     vertex: bool = False
     std: float = 1.0
     remat_layers: bool = True  # recompute per-layer edge tensors in backward
+    dtype: str | None = None  # e.g. "bfloat16": layer-loop compute dtype
 
     @nn.compact
     def __call__(
@@ -376,6 +381,12 @@ class ViSNet(nn.Module):
         x_jn = nbr_gather(x, nbr_idx, nbr_mask)
         f_ij = (x[:, :, None] + x_jn) * _Proj(h, name="edge_proj")(f_rbf)
 
+        if self.dtype is not None:
+            dt = jnp.dtype(self.dtype)
+            x, vec, f_ij, d_ij = (
+                t.astype(dt) for t in (x, vec, f_ij, d_ij)
+            )
+
         # per-layer remat: backward recomputes the [G,A,k,·] edge tensors of
         # one layer at a time instead of saving six layers' worth (~16 GB at
         # batch 768 on a 16 GB chip)
@@ -397,11 +408,11 @@ class ViSNet(nn.Module):
             if not last:
                 f_ij = f_ij + df
 
-        x = nn.LayerNorm(name="out_norm")(x)
+        x = nn.LayerNorm(name="out_norm")(x).astype(jnp.float32)
         vec = VecLayerNorm(
             h, trainable=self.trainable_vecnorm, norm_type=self.vecnorm_type,
             name="vec_out_norm",
-        )(vec)
+        )(vec).astype(jnp.float32)
 
         # EquivariantScalar readout (`visnet_layer.py:911-949`)
         for i in range(2):
