@@ -69,8 +69,10 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
     matmul (never a scatter), and the returned F_ops/center are per SLOT:
     ([R, 8, P, 3], [R, P, 8, 3, 3], [R, P, 3]).  `invert_frame` accepts both.
     """
+    dt = coords.dtype
     if slot_gid is None:
-        m = mask[..., None].astype(coords.dtype)
+        m = mask[..., None].astype(jnp.float32)
+        coords = coords.astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # [..., 1]
         center = jnp.sum(coords * m, axis=-2) / cnt  # [..., 3]
         x = (coords - center[..., None, :]) * m  # masked centering
@@ -81,13 +83,14 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
         f_ops = _sign_frames(cov, deg)
         # project: h[..., o, p, i] = Σ_j F_ops[..., o, j, i] x[..., p, j]
         h = jnp.einsum("...oji,...pj->...opi", f_ops, x)
-        return h, f_ops, center
+        return h.astype(dt), f_ops, center
 
     # molecule-grouped statistics on packed slot rows
+    coords = coords.astype(jnp.float32)
     ohg = (
         (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
         & mask[..., None]
-    ).astype(coords.dtype)  # [R, P, B]
+    ).astype(jnp.float32)  # [R, P, B]
     cnt = jnp.maximum(jnp.einsum("rpb->b", ohg), 1.0)  # [B]
     center_g = jnp.einsum("rpb,rpd->bd", ohg, coords) / cnt[:, None]
     center = jnp.einsum("rpb,bd->rpd", ohg, center_g)  # per-slot (0 at pad)
@@ -97,7 +100,7 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
     f_ops_g = _sign_frames(cov_g, deg)  # [B, 8, 3, 3]
     f_ops = jnp.einsum("rpb,boij->rpoij", ohg, f_ops_g)  # per-slot
     h = jnp.einsum("rpoji,rpj->ropi", f_ops, x)  # [R, 8, P, 3]
-    return h, f_ops, center
+    return h.astype(dt), f_ops, center
 
 
 def invert_frame(x, mask, f_ops, center):
@@ -115,7 +118,7 @@ def invert_frame(x, mask, f_ops, center):
         out = out + center[..., None, :]
     if mask is not None:
         out = out * mask[..., None].astype(out.dtype)
-    return out
+    return out.astype(x.dtype)
 
 
 class _MLP(nn.Module):
@@ -130,11 +133,12 @@ class _MLP(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = {"gelu": nn.gelu, "silu": nn.silu, "relu": nn.relu}[self.activation]
+        dt = x.dtype
         x = TorchLinear(self.hidden, name="fc1")(x)
         x = act(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(name="norm")(x).astype(dt)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -150,12 +154,13 @@ class _SwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        dt = x.dtype
         h = TorchLinear(self.hidden, name="fc1")(x)
         x1, x2 = jnp.split(h, 2, axis=-1)
         x = nn.silu(x1) * x2
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(name="norm")(x).astype(dt)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -219,7 +224,7 @@ class FAFFN(nn.Module):
     @nn.compact
     def __call__(self, token, geo, slot_mask, deterministic=True,
                  slot_gid=None, num_graphs=None):
-        token = nn.LayerNorm(name="ln")(token)
+        token = nn.LayerNorm(name="ln")(token).astype(token.dtype)
         frames, _, _ = create_frame(
             geo, slot_mask, slot_gid, num_graphs
         )  # [G, 8, A, 3]
@@ -256,13 +261,13 @@ class MLPAttnEdgeAggregation(nn.Module):
         residual = token
 
         qkv = TorchLinear(3 * d, name="qkv_lin")(
-            nn.LayerNorm(name="qkv_ln")(token)
+            nn.LayerNorm(name="qkv_ln")(token).astype(token.dtype)
         )
         q_s, k_s, v_s = [
             t.reshape(g, a, nh, dh) for t in jnp.split(qkv, 3, axis=-1)
         ]
         qv_e = TorchLinear(2 * de, name="qkv_edge_lin")(
-            nn.LayerNorm(name="qkv_edge_ln")(edge_feats)
+            nn.LayerNorm(name="qkv_edge_ln")(edge_feats).astype(edge_feats.dtype)
         )
         q_e, v_e = [
             t.reshape(g, a, k, nh, deh) for t in jnp.split(qv_e, 2, axis=-1)
@@ -281,8 +286,8 @@ class MLPAttnEdgeAggregation(nn.Module):
         message = q_s[:, :, None] + nbr_gather(k_s, nbr_idx, nbr_mask)
         attn = TorchLinear(1, use_bias=False, name="mlp_attn")(message)[..., 0]
         attn = attn + TorchLinear(1, use_bias=False, name="edge_attn")(q_e)[..., 0]
-        attn = jnp.where(nbr_mask[..., None], attn, -1e9)
-        attn = jax.nn.softmax(attn, axis=2)  # over neighbors
+        attn = jnp.where(nbr_mask[..., None], attn.astype(jnp.float32), -1e9)
+        attn = jax.nn.softmax(attn, axis=2).astype(v_e.dtype)  # over nbrs
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
         v_nb = nbr_gather(v_s, nbr_idx, nbr_mask)  # [G, A, k, nh, dh]

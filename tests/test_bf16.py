@@ -13,7 +13,8 @@ from equihgnn_tpu.models.config import ModelConfig
 
 @pytest.mark.parametrize(
     "name",
-    ["mhnns", "egnn_equihnns", "se3_transformer_equihnns", "visnet_equihnns"],
+    ["mhnns", "egnn_equihnns", "se3_transformer_equihnns", "visnet_equihnns",
+     "faformer_equihnns"],
 )
 def test_bf16_close_to_f32(name):
     samples = make_synthetic_dataset(6, seed=5)
