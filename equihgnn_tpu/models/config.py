@@ -55,4 +55,6 @@ class ModelConfig:
             normalization=get("normalization", "ln"),
             activation=get("activation", "relu"),
             dropout=get("dropout", 0.0),
+            compute_dtype=get("compute_dtype", None),
+            remat=bool(get("remat", False)),
         )
