@@ -37,6 +37,11 @@ class BatchSpec:
     nnz: int  # incidence entries (hypergraph only)
     max_atoms_per_graph: int = 0  # A_max for the dense slot view
     num_slot_rows: int = 0  # static row count for packed slot view (0 = G rows)
+    # per-row capacities for the dense slot-incidence view (0 = disabled).
+    # Rigorous bounds: a row holds ≤ A_max atoms, and per molecule
+    # hedges ≤ atoms·max(hedges/atoms), nnz ≤ atoms·max(nnz/atoms).
+    num_hedge_slots: int = 0
+    num_inc_slots: int = 0
 
     @property
     def max_real_graphs(self) -> int:
@@ -83,6 +88,8 @@ def spec_for_samples(
         # 1.15 headroom suffices — every all-padding row costs HBM in every
         # dense [R, A, ...] encoder tensor.
         num_slot_rows=int(num_atoms / a_max * 1.15) + 3,
+        num_hedge_slots=int(np.ceil(a_max * float((n_edge / np.maximum(n_atoms, 1)).max()))) + 1,
+        num_inc_slots=int(np.ceil(a_max * float((nnz / np.maximum(n_atoms, 1)).max()))) + 1,
     )
 
 
@@ -190,6 +197,14 @@ def pad_hypergraph_batch(
                 z[a0 : a0 + na] = s.z
         a0, e0, z0 = a0 + na, e0 + ne, z0 + nz
 
+    tables = (
+        incidence_slot_tables(
+            spec, n_rows, slot_gid, atom_slot, vertex_idx, hedge_idx,
+            inc_mask, hedge_graph_id, hedge_mask,
+        )
+        if A
+        else None
+    )
     return HyperGraphBatch(
         atom_feat=atom_feat,
         atom_mask=atom_mask,
@@ -211,6 +226,88 @@ def pad_hypergraph_batch(
         atom_slot=atom_slot,
         atom_row=atom_row,
         rows_are_molecules=not pack_slots,
+        **(tables or {}),
+    )
+
+
+
+def _cumcount_by_row(rows):
+    """Positions 0..k-1 within each row group, preserving input order."""
+    order = np.argsort(rows, kind="stable")
+    sr = rows[order]
+    n = len(sr)
+    if n == 0:
+        return np.zeros(0, np.int32), order
+    starts = np.r_[0, np.nonzero(np.diff(sr))[0] + 1]
+    lengths = np.diff(np.r_[starts, n])
+    pos = np.arange(n) - np.repeat(starts, lengths)
+    out = np.empty(n, np.int64)
+    out[order] = pos
+    return out.astype(np.int32), order
+
+
+def incidence_slot_tables(
+    spec: BatchSpec,
+    n_rows: int,
+    slot_gid,
+    atom_slot,
+    vertex_idx,
+    hedge_idx,
+    inc_mask,
+    hedge_graph_id,
+    hedge_mask,
+):
+    """Derive the dense slot-incidence view from a flat assembled batch.
+
+    Hyperedges and incidence entries are assigned per-row slots (flat order
+    within each row); the hypergraph conv then runs its gathers/scatters as
+    batched [Ni, A]/[Ni, He] one-hot matmuls instead of XLA segment scatters.
+    Returns a dict of arrays, or None when the spec has no capacities or a
+    row overflows them (callers fall back to the flat segment path).
+    """
+    He, Ni = spec.num_hedge_slots, spec.num_inc_slots
+    if not He or not Ni:
+        return None
+    E, Z = len(hedge_mask), len(inc_mask)
+
+    row_of_graph = np.full(spec.num_graphs, n_rows - 1, np.int32)
+    rr, ss = np.nonzero(slot_gid >= 0)
+    row_of_graph[slot_gid[rr, ss]] = rr
+
+    hedge_row = np.where(
+        hedge_mask, row_of_graph[hedge_graph_id], n_rows - 1
+    ).astype(np.int32)
+    hedge_slot = np.zeros(E, np.int32)
+    hv = np.nonzero(hedge_mask)[0]
+    pos, _ = _cumcount_by_row(hedge_row[hv])
+    if len(pos) and pos.max() >= He:
+        return None
+    hedge_slot[hv] = pos
+    hedge_slot_index = np.zeros((n_rows, He), np.int32)
+    hedge_slot_mask = np.zeros((n_rows, He), bool)
+    hedge_slot_index[hedge_row[hv], pos] = hv
+    hedge_slot_mask[hedge_row[hv], pos] = True
+
+    zv = np.nonzero(inc_mask)[0]
+    inc_row = hedge_row[hedge_idx[zv]]
+    zpos, _ = _cumcount_by_row(inc_row)
+    if len(zpos) and zpos.max() >= Ni:
+        return None
+    inc_slot_atom = np.zeros((n_rows, Ni), np.int32)
+    inc_slot_hedge = np.zeros((n_rows, Ni), np.int32)
+    inc_slot_mask = np.zeros((n_rows, Ni), bool)
+    inc_slot_atom[inc_row, zpos] = atom_slot[vertex_idx[zv]]
+    inc_slot_hedge[inc_row, zpos] = hedge_slot[hedge_idx[zv]]
+    inc_slot_mask[inc_row, zpos] = True
+
+    return dict(
+        hedge_row=hedge_row,
+        hedge_slot=hedge_slot,
+        hedge_slot_index=hedge_slot_index,
+        hedge_slot_mask=hedge_slot_mask,
+        inc_slot_atom=inc_slot_atom,
+        inc_slot_hedge=inc_slot_hedge,
+        inc_slot_mask=inc_slot_mask,
     )
 
 
@@ -408,7 +505,7 @@ def empty_like(batch):
     import dataclasses
 
     masks = {"atom_mask", "inc_mask", "hedge_mask", "graph_mask", "slot_mask",
-             "edge_mask"}
+             "edge_mask", "hedge_slot_mask", "inc_slot_mask"}
     updates = {}
     for f in dataclasses.fields(batch):
         v = getattr(batch, f.name)

@@ -191,6 +191,17 @@ def pack_batch(
     if rc != 0:
         raise ValueError(f"native packer failed (code {rc}) for spec {spec}")
 
+    from equihgnn_tpu.data.batching import incidence_slot_tables
+
+    tables = (
+        incidence_slot_tables(
+            spec, (R if pack_slots else G), sgid, aslot,
+            out["vertex_idx"], out["hedge_idx"], out["inc_mask"].astype(bool),
+            out["hedge_graph_id"], out["hedge_mask"].astype(bool),
+        )
+        if si is not None
+        else None
+    )
     return HyperGraphBatch(
         atom_feat=out["atom_feat"],
         atom_mask=out["atom_mask"].astype(bool),
@@ -212,6 +223,7 @@ def pack_batch(
         atom_slot=aslot,
         atom_row=arow,
         rows_are_molecules=not pack_slots,
+        **(tables or {}),
     )
 
 

@@ -117,6 +117,16 @@ class HyperGraphBatch:
     slot_gid: jnp.ndarray | None = None  # [R, A_max] int32 molecule id (-1 pad)
     atom_slot: jnp.ndarray | None = None  # [N_pad] int32 slot within row
     atom_row: jnp.ndarray | None = None  # [N_pad] int32 row index
+    # Dense slot-incidence view (round 3): hyperedges and incidence entries
+    # get per-row slots too, so the hypergraph conv's segment scatters become
+    # batched one-hot matmuls (XLA TPU scatters run near-serially — PERF.md).
+    hedge_row: jnp.ndarray | None = None  # [E_pad] int32 row per hyperedge
+    hedge_slot: jnp.ndarray | None = None  # [E_pad] int32 slot within row
+    hedge_slot_index: jnp.ndarray | None = None  # [R, He] int32 flat hedge id
+    hedge_slot_mask: jnp.ndarray | None = None  # [R, He] bool
+    inc_slot_atom: jnp.ndarray | None = None  # [R, Ni] int32 atom slot
+    inc_slot_hedge: jnp.ndarray | None = None  # [R, Ni] int32 hedge slot
+    inc_slot_mask: jnp.ndarray | None = None  # [R, Ni] bool
     rows_are_molecules: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -162,3 +172,15 @@ class GraphBatch:
     @property
     def num_graphs(self) -> int:
         return self.y.shape[-1]
+
+
+def incidence_slots(batch):
+    """The dense slot-incidence view as the canonical 11-tuple consumed by
+    `nn/hgconv.py`, or None when the batch lacks it (flat segment fallback)."""
+    need = (
+        batch.slot_index, batch.slot_mask, batch.atom_row, batch.atom_slot,
+        batch.hedge_slot_index, batch.hedge_slot_mask, batch.hedge_row,
+        batch.hedge_slot, batch.inc_slot_atom, batch.inc_slot_hedge,
+        batch.inc_slot_mask,
+    )
+    return None if any(v is None for v in need) else need

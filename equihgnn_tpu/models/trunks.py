@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from equihgnn_tpu.data.structures import HyperGraphBatch
+from equihgnn_tpu.data.structures import HyperGraphBatch, incidence_slots
 from equihgnn_tpu.models.common import (
     Activation,
     cast_compute,
@@ -57,6 +57,7 @@ class TrunkFull(nn.Module):
             axis_name=cfg.axis_name,
             name="conv",
         )
+        slots = incidence_slots(batch)
         for i in range(cfg.all_num_layers):
             x, e = conv(
                 x,
@@ -67,6 +68,7 @@ class TrunkFull(nn.Module):
                 atom_mask=batch.atom_mask,
                 hedge_mask=batch.hedge_mask,
                 deterministic=deterministic,
+                slots=slots,
             )
             if i == cfg.all_num_layers - 1:
                 x = drop(x, deterministic=deterministic)
@@ -117,6 +119,7 @@ class TrunkS(nn.Module):
             axis_name=cfg.axis_name,
             name="conv",
         )
+        slots = incidence_slots(batch)
         for _ in range(cfg.all_num_layers):
             x = drop(x, deterministic=deterministic)
             x = conv(
@@ -128,6 +131,7 @@ class TrunkS(nn.Module):
                 batch.num_hedges,
                 atom_mask=batch.atom_mask,
                 deterministic=deterministic,
+                slots=slots,
             )
             x = act(x)
         x = drop(x, deterministic=deterministic)
@@ -158,6 +162,7 @@ class TrunkM(nn.Module):
         act = Activation(cfg.activation, name="act")
         drop = nn.Dropout(cfg.dropout)
         e = cast_compute(cfg, HedgeEncoder(cfg.mlp_hidden, name="bond_encoder")(batch.hedge_feat))
+        slots = incidence_slots(batch)
         for i in range(cfg.all_num_layers):
             layer = MHNNConv(
                 hid_dim=cfg.mlp_hidden,
@@ -180,6 +185,7 @@ class TrunkM(nn.Module):
                 atom_mask=batch.atom_mask,
                 hedge_mask=batch.hedge_mask,
                 deterministic=deterministic,
+                slots=slots,
             )
             x = MaskedBatchNorm(axis_name=cfg.axis_name, name=f"batch_norms_{i}")(
                 x, mask=batch.atom_mask, use_running_average=deterministic

@@ -24,6 +24,38 @@ from equihgnn_tpu.nn.mlp import MLP
 from equihgnn_tpu.ops.segment import masked_segment_reduce
 
 
+def _slot_onehots(slots, dtype):
+    """Masked one-hot matrices for the dense slot-incidence view.
+
+    Returns (Oa [R,Ni,A], Oe [R,Ni,He]): entry→atom-slot and entry→hedge-slot
+    assignment matrices. Every gather/scatter of the conv contracts against
+    these — batched MXU matmuls in forward AND backward, never an XLA scatter
+    (near-serial on TPU; see ops/gather.py and PERF.md).
+    """
+    import jax.numpy as jnp
+
+    (slot_index, slot_mask, atom_row, atom_slot, hedge_slot_index,
+     hedge_slot_mask, hedge_row, hedge_slot, inc_slot_atom, inc_slot_hedge,
+     inc_slot_mask) = slots
+    a = slot_index.shape[1]
+    he = hedge_slot_index.shape[1]
+    im = inc_slot_mask[..., None]
+    oa = ((inc_slot_atom[..., None] == jnp.arange(a)) & im).astype(dtype)
+    oe = ((inc_slot_hedge[..., None] == jnp.arange(he)) & im).astype(dtype)
+    return oa, oe
+
+
+def _dense_reduce(o, vals, aggr):
+    """Scatter entry values through a one-hot: [R,Ni,S]ᵀ·[R,Ni,d] → [R,S,d]."""
+    import jax.numpy as jnp
+
+    out = jnp.einsum("rns,rnd->rsd", o, vals)
+    if aggr == "mean":
+        cnt = jnp.maximum(jnp.einsum("rns->rs", o), 1.0)
+        out = out / cnt[..., None]
+    return out
+
+
 def _maybe_mlp(hid_dim, layers, dropout, normalization, axis_name, name):
     if layers > 0:
         return MLP(
@@ -63,6 +95,7 @@ class MHNNConv(nn.Module):
         atom_mask=None,
         hedge_mask=None,
         deterministic: bool = True,
+        slots=None,  # dense slot-incidence view (structures.py) or None
     ):
         import jax.numpy as jnp
 
@@ -81,15 +114,53 @@ class MHNNConv(nn.Module):
             inp[..., d:] if w is None else w(inp, mask=mask, deterministic=deterministic)
         )
 
-        # V→E messages
-        mve = apply_w(w1, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask)
-        me = masked_segment_reduce(
-            mve, hedge_idx, e_pad, self.aggr, mask=inc_mask, sorted_ids=True
-        )
-        e = apply_w(w2, jnp.concatenate([e, me], -1), hedge_mask)
-        # E→V messages
-        mev = apply_w(w3, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask)
-        mv = masked_segment_reduce(mev, vertex_idx, n_pad, self.aggr, mask=inc_mask)
+        if slots is not None:
+            # dense slot-incidence path (see MHNNSConv): reductions are
+            # batched one-hot matmuls over per-row slots
+            (slot_index, slot_mask, atom_row, atom_slot, hedge_slot_index,
+             hedge_slot_mask, hedge_row, hedge_slot, _a, _h,
+             inc_slot_mask) = slots
+            oa, oe = _slot_onehots(slots, x.dtype)
+            smf = slot_mask[..., None].astype(x.dtype)
+            hmf = hedge_slot_mask[..., None].astype(x.dtype)
+            x_ent = lambda: jnp.einsum(
+                "rna,rad->rnd", oa, x[slot_index] * smf
+            )
+            e_ent = lambda: jnp.einsum(
+                "rne,red->rnd", oe, e[hedge_slot_index] * hmf
+            )
+            # V→E messages
+            mve = apply_w(
+                w1, jnp.concatenate([x_ent(), e_ent()], -1), inc_slot_mask
+            )
+            me_d = _dense_reduce(oe, mve, self.aggr)  # [R, He, d]
+            me = me_d[hedge_row, hedge_slot]
+            e = apply_w(w2, jnp.concatenate([e, me], -1), hedge_mask)
+            # E→V messages
+            mev = apply_w(
+                w3, jnp.concatenate([x_ent(), e_ent()], -1), inc_slot_mask
+            )
+            sv = jnp.einsum("rna,rnd->rad", oa, mev)
+            if self.aggr == "mean":
+                cnt = jnp.maximum(jnp.einsum("rna->ra", oa), 1.0)
+                sv = sv / cnt[..., None]
+            mv = sv[atom_row, atom_slot]
+        else:
+            # V→E messages
+            mve = apply_w(
+                w1, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask
+            )
+            me = masked_segment_reduce(
+                mve, hedge_idx, e_pad, self.aggr, mask=inc_mask, sorted_ids=True
+            )
+            e = apply_w(w2, jnp.concatenate([e, me], -1), hedge_mask)
+            # E→V messages
+            mev = apply_w(
+                w3, jnp.concatenate([x[vertex_idx], e[hedge_idx]], -1), inc_mask
+            )
+            mv = masked_segment_reduce(
+                mev, vertex_idx, n_pad, self.aggr, mask=inc_mask
+            )
         x = apply_w(w4, jnp.concatenate([x, mv], -1), atom_mask)
         return x, e
 
@@ -118,6 +189,7 @@ class MHNNSConv(nn.Module):
         num_hedges: int,  # static E_pad (hyperedge slot count)
         atom_mask=None,
         deterministic: bool = True,
+        slots=None,  # dense slot-incidence view (structures.py) or None
     ):
         import jax.numpy as jnp
 
@@ -133,17 +205,50 @@ class MHNNSConv(nn.Module):
         )
 
         xw = x if w1 is None else w1(x, mask=atom_mask, deterministic=deterministic)
-        xve = xw[vertex_idx]
-        xe = masked_segment_reduce(
-            xve, hedge_idx, num_hedges, self.aggr, mask=inc_mask, sorted_ids=True
-        )
-        xev = jnp.concatenate([x[vertex_idx], xe[hedge_idx]], -1)
-        xev = (
-            xev[..., d:]
-            if w2 is None
-            else w2(xev, mask=inc_mask, deterministic=deterministic)
-        )
-        xv = masked_segment_reduce(xev, vertex_idx, n_pad, self.aggr, mask=inc_mask)
+        if slots is not None:
+            # dense slot-incidence path: the V→E and E→V reductions are
+            # batched one-hot matmuls over per-row slots (same sums/counts as
+            # the flat segment path — exact up to fp association)
+            (slot_index, slot_mask, atom_row, atom_slot, *_rest) = slots
+            oa, oe = _slot_onehots(slots, x.dtype)
+            smf = slot_mask[..., None].astype(x.dtype)
+            xw_d = xw[slot_index] * smf
+            x_d = x[slot_index] * smf
+            xve_d = jnp.einsum("rna,rad->rnd", oa, xw_d)
+            xe_d = _dense_reduce(oe, xve_d, self.aggr)  # [R, He, d]
+            xev = jnp.concatenate(
+                [
+                    jnp.einsum("rna,rad->rnd", oa, x_d),
+                    jnp.einsum("rne,red->rnd", oe, xe_d),
+                ],
+                -1,
+            )
+            inc_slot_mask = slots[-1]
+            xev = (
+                xev[..., d:]
+                if w2 is None
+                else w2(xev, mask=inc_slot_mask, deterministic=deterministic)
+            )
+            sv = jnp.einsum("rna,rnd->rad", oa, xev)
+            if self.aggr == "mean":
+                cnt = jnp.maximum(jnp.einsum("rna->ra", oa), 1.0)
+                sv = sv / cnt[..., None]
+            xv = sv[atom_row, atom_slot]
+        else:
+            xve = xw[vertex_idx]
+            xe = masked_segment_reduce(
+                xve, hedge_idx, num_hedges, self.aggr, mask=inc_mask,
+                sorted_ids=True,
+            )
+            xev = jnp.concatenate([x[vertex_idx], xe[hedge_idx]], -1)
+            xev = (
+                xev[..., d:]
+                if w2 is None
+                else w2(xev, mask=inc_mask, deterministic=deterministic)
+            )
+            xv = masked_segment_reduce(
+                xev, vertex_idx, n_pad, self.aggr, mask=inc_mask
+            )
 
         x = (1.0 - self.alpha) * xv + self.alpha * x0
         if w3 is not None:
