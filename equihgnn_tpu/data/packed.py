@@ -191,17 +191,46 @@ def pack_batch(
     if rc != 0:
         raise ValueError(f"native packer failed (code {rc}) for spec {spec}")
 
-    from equihgnn_tpu.data.batching import incidence_slot_tables
+    tables = None
+    He, Ni = spec.num_hedge_slots, spec.num_inc_slots
+    if si is not None and He and Ni:
+        rr = R if pack_slots else G
+        if hasattr(lib, "build_incidence_slot_tables"):
+            t = {
+                "hedge_row": np.empty(E, np.int32),
+                "hedge_slot": np.empty(E, np.int32),
+                "hedge_slot_index": np.empty((rr, He), np.int32),
+                "hedge_slot_mask": np.empty((rr, He), np.uint8),
+                "inc_slot_atom": np.empty((rr, Ni), np.int32),
+                "inc_slot_hedge": np.empty((rr, Ni), np.int32),
+                "inc_slot_mask": np.empty((rr, Ni), np.uint8),
+            }
+            rc2 = lib.build_incidence_slot_tables(
+                _c_ptr(out["vertex_idx"], i32), _c_ptr(out["hedge_idx"], i32),
+                _c_ptr(out["inc_mask"], u8), i64(Z),
+                _c_ptr(out["hedge_mask"], u8), i64(E),
+                _c_ptr(aslot, i32), _c_ptr(arow, i32),
+                i64(rr), i64(He), i64(Ni),
+                _c_ptr(t["hedge_row"], i32), _c_ptr(t["hedge_slot"], i32),
+                _c_ptr(t["hedge_slot_index"], i32),
+                _c_ptr(t["hedge_slot_mask"], u8),
+                _c_ptr(t["inc_slot_atom"], i32),
+                _c_ptr(t["inc_slot_hedge"], i32),
+                _c_ptr(t["inc_slot_mask"], u8),
+            )
+            if rc2 == 0:
+                t["hedge_slot_mask"] = t["hedge_slot_mask"].astype(bool)
+                t["inc_slot_mask"] = t["inc_slot_mask"].astype(bool)
+                tables = t
+        else:  # stale cached library without the symbol
+            from equihgnn_tpu.data.batching import incidence_slot_tables
 
-    tables = (
-        incidence_slot_tables(
-            spec, (R if pack_slots else G), sgid, aslot,
-            out["vertex_idx"], out["hedge_idx"], out["inc_mask"].astype(bool),
-            out["hedge_graph_id"], out["hedge_mask"].astype(bool),
-        )
-        if si is not None
-        else None
-    )
+            tables = incidence_slot_tables(
+                spec, rr, sgid, aslot,
+                out["vertex_idx"], out["hedge_idx"],
+                out["inc_mask"].astype(bool),
+                out["hedge_graph_id"], out["hedge_mask"].astype(bool),
+            )
     return HyperGraphBatch(
         atom_feat=out["atom_feat"],
         atom_mask=out["atom_mask"].astype(bool),

@@ -158,4 +158,60 @@ int pack_hypergraph_batch(
     return 0;
 }
 
+
+// Dense slot-incidence tables derived from a packed flat batch: hyperedges
+// and incidence entries get per-row slots (flat order within each row), so
+// the hypergraph conv runs its reductions as batched one-hot matmuls
+// (equihgnn_tpu/nn/hgconv.py). Mirrors batching.incidence_slot_tables —
+// the outputs are bit-identical to the numpy derivation.
+// Returns 0 on success, 1 on hedge-slot overflow, 2 on incidence-slot
+// overflow (callers fall back to the flat segment path).
+int build_incidence_slot_tables(
+    const int32_t* vertex_idx, const int32_t* hedge_idx,
+    const uint8_t* inc_mask, int64_t NNZ,
+    const uint8_t* hedge_mask, int64_t E,
+    const int32_t* atom_slot, const int32_t* atom_row,   // [N]
+    int64_t R, int64_t He, int64_t Ni,
+    int32_t* hedge_row,        // [E]
+    int32_t* hedge_slot,       // [E]
+    int32_t* hedge_slot_index, // [R, He]
+    uint8_t* hedge_slot_mask,  // [R, He]
+    int32_t* inc_slot_atom,    // [R, Ni]
+    int32_t* inc_slot_hedge,   // [R, Ni]
+    uint8_t* inc_slot_mask     // [R, Ni]
+) {
+    for (int64_t e = 0; e < E; ++e) hedge_row[e] = (int32_t)(R - 1);
+    std::memset(hedge_slot, 0, sizeof(int32_t) * E);
+    std::memset(hedge_slot_index, 0, sizeof(int32_t) * R * He);
+    std::memset(hedge_slot_mask, 0, R * He);
+    std::memset(inc_slot_atom, 0, sizeof(int32_t) * R * Ni);
+    std::memset(inc_slot_hedge, 0, sizeof(int32_t) * R * Ni);
+    std::memset(inc_slot_mask, 0, R * Ni);
+
+    for (int64_t zi = 0; zi < NNZ; ++zi)
+        if (inc_mask[zi]) hedge_row[hedge_idx[zi]] = atom_row[vertex_idx[zi]];
+
+    std::vector<int64_t> fill(R, 0);
+    for (int64_t e = 0; e < E; ++e) {
+        if (!hedge_mask[e]) continue;
+        const int64_t r = hedge_row[e];
+        const int64_t p = fill[r]++;
+        if (p >= He) return 1;
+        hedge_slot[e] = (int32_t)p;
+        hedge_slot_index[r * He + p] = (int32_t)e;
+        hedge_slot_mask[r * He + p] = 1;
+    }
+    std::fill(fill.begin(), fill.end(), 0);
+    for (int64_t zi = 0; zi < NNZ; ++zi) {
+        if (!inc_mask[zi]) continue;
+        const int64_t r = hedge_row[hedge_idx[zi]];
+        const int64_t p = fill[r]++;
+        if (p >= Ni) return 2;
+        inc_slot_atom[r * Ni + p] = atom_slot[vertex_idx[zi]];
+        inc_slot_hedge[r * Ni + p] = hedge_slot[hedge_idx[zi]];
+        inc_slot_mask[r * Ni + p] = 1;
+    }
+    return 0;
+}
+
 }  // extern "C"

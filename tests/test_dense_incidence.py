@@ -75,3 +75,23 @@ def test_dense_matches_flat(name, pack):
     np.testing.assert_allclose(
         np.asarray(o_dense)[m], np.asarray(o_flat)[m], rtol=2e-4, atol=2e-5
     )
+
+
+def test_overflow_falls_back_to_flat():
+    """Rows that exceed the spec's hedge/incidence capacities must yield a
+    batch WITHOUT tables (flat segment path), not a corrupt one."""
+    import dataclasses
+
+    samples = make_synthetic_dataset(8, seed=9)
+    spec = spec_for_samples(samples, batch_size=8)
+    tight = dataclasses.replace(spec, num_hedge_slots=1, num_inc_slots=1)
+    b = pad_hypergraph_batch(samples, tight, target=0, with_pos=True,
+                             pack_slots=True)
+    assert incidence_slots(b) is None
+    model = create_model(
+        "mhnns", num_target=1, cfg=ModelConfig(mlp_hidden=16, output_hidden=8)
+    )
+    bj = jax.tree.map(jnp.asarray, b)
+    variables = model.init(jax.random.PRNGKey(0), bj, deterministic=True)
+    out = model.apply(variables, bj, deterministic=True)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -24,6 +24,8 @@ def _assert_batches_equal(a, b):
         "atom_feat", "atom_mask", "atom_graph_id", "vertex_idx", "hedge_idx",
         "inc_mask", "hedge_feat", "hedge_mask", "hedge_graph_id", "e_order",
         "y", "graph_mask", "pos", "z", "slot_index", "slot_mask", "atom_slot",
+        "hedge_row", "hedge_slot", "hedge_slot_index", "hedge_slot_mask",
+        "inc_slot_atom", "inc_slot_hedge", "inc_slot_mask",
     ):
         x, y_ = getattr(a, field), getattr(b, field)
         if x is None or y_ is None:
