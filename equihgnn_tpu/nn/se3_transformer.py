@@ -202,9 +202,9 @@ class _ConvSE3Pair(nn.Module):
                 tsum = jnp.sum(tc, axis=2)  # [G, A, i, c]
                 per_c = []
                 for c in range(c_out):
-                    M = jnp.einsum("sgakf,gaki->sgafi", h, tc[..., c])
+                    M = jnp.einsum("sgakf,gaki->sgaif", h, tc[..., c])
                     per_c.append(
-                        jnp.einsum("sfoi,sgafi->sgao", Wj, M)
+                        jnp.einsum("sfoi,sgaif->sgao", Wj, M)
                         + jnp.einsum("soi,gai->sgao", bj, tsum[..., c])
                     )
                 return jnp.stack(per_c, axis=-1)
@@ -238,8 +238,11 @@ class _ConvSE3Pair(nn.Module):
         @jax.checkpoint
         def one_sb(Wj, bj, hds, xnb, wshb, onehot):
             # Wj [J,f,o,i]; hds [G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
-            u = jnp.einsum("Jfoi,gji->gjJfo", Wj, xnb)
-            v = jnp.einsum("gijf,gjJfo->giJjo", hds, u)
+            # u's axis order (f before J,o) matches the consumer dot's layout
+            # — the previous "gjJfo" form cost a 4.4 ms transpose copy per
+            # (stack, input-m) step (52 ms/step on a device trace)
+            u = jnp.einsum("Jfoi,gji->gjfJo", Wj, xnb)
+            v = jnp.einsum("gijf,gjfJo->giJjo", hds, u)
             vk = jnp.einsum("gakj,gaJjo->gaJko", onehot, v)
             ub = jnp.einsum("oiJ,gji->gjJo", bj, xnb)
             ubk = jnp.einsum("gakj,gjJo->gaJko", onehot, ub)
