@@ -237,27 +237,40 @@ class _ConvSE3Pair(nn.Module):
 
         @jax.checkpoint
         def one_sb(Wj, bj, hds, xnb, wshb, onehot):
-            # Wj [J,f,o,i]; hds [G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
+            # Wj [S,J,f,o,i]; hds [S,G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
             # u's axis order (f before J,o) matches the consumer dot's layout
-            # — the previous "gjJfo" form cost a 4.4 ms transpose copy per
+            # — the earlier "gjJfo" form cost a 4.4 ms transpose copy per
             # (stack, input-m) step (52 ms/step on a device trace)
-            u = jnp.einsum("Jfoi,gji->gjfJo", Wj, xnb)
-            v = jnp.einsum("gijf,gjfJo->giJjo", hds, u)
-            vk = jnp.einsum("gakj,gaJjo->gaJko", onehot, v)
-            ub = jnp.einsum("oiJ,gji->gjJo", bj, xnb)
-            ubk = jnp.einsum("gakj,gjJo->gaJko", onehot, ub)
-            return jnp.einsum("gaJko,gakJc->gakoc", vk + ubk, wshb)
+            u = jnp.einsum("sJfoi,gji->sgjfJo", Wj, xnb)
+            v = jnp.einsum("sgijf,sgjfJo->sgiJjo", hds, u)
+            vk = jnp.einsum("gakj,sgaJjo->sgaJko", onehot, v)
+            ub = jnp.einsum("soiJ,gji->sgjJo", bj, xnb)
+            ubk = jnp.einsum("gakj,sgjJo->sgaJko", onehot, ub)
+            return jnp.einsum("sgaJko,gakJc->sgakoc", vk + ubk, wshb)
 
         Wj = jnp.moveaxis(W, -1, 1)  # [S, J, f, o, i]
-        res = [0.0] * s
-        for si in range(s):
+        # Batch the stack axis into the einsums when the u temp stays small
+        # (S·J ≤ 2 → u ≤ ~1.6 GB per input-m step); the (1,1) pair (J=3)
+        # would need a ~14 GB backward working set batched, so it keeps the
+        # per-stack loop.
+        if s * len(js) <= 2:
+            res_s = 0.0
             for bi in range(b_in):
-                res[si] = res[si] + one_sb(
-                    Wj[si], bias[si], hd[si], xn[..., bi],
-                    w_sh[..., bi, :], onehot,
+                res_s = res_s + one_sb(
+                    Wj, bias, hd, xn[..., bi], w_sh[..., bi, :], onehot
                 )
-        out = jnp.stack([jnp.where(inc, r, 0.0) for r in res], axis=0)
-        return out  # [S, G, A, k, o, c]
+        else:
+            parts = []
+            for si in range(s):
+                acc = 0.0
+                for bi in range(b_in):
+                    acc = acc + one_sb(
+                        Wj[si : si + 1], bias[si : si + 1], hd[si : si + 1],
+                        xn[..., bi], w_sh[..., bi, :], onehot,
+                    )
+                parts.append(acc)
+            res_s = jnp.concatenate(parts, axis=0)
+        return jnp.where(inc[None], res_s, 0.0)  # [S, G, A, k, o, c]
 
 
 class ConvSE3(nn.Module):
