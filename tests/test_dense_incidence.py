@@ -77,6 +77,34 @@ def test_dense_matches_flat(name, pack):
     )
 
 
+def test_dense_matches_flat_batchnorm_training():
+    """BN statistics are computed over masked incidence entries — the dense
+    [R, Ni] layout must produce the same batch stats as the flat [nnz] one
+    (training mode, mutable batch_stats)."""
+    b = _batch(True)
+    model = create_model(
+        "mhnnm", num_target=1,
+        cfg=ModelConfig(mlp_hidden=16, output_hidden=8, normalization="bn"),
+    )
+    variables = model.init(jax.random.PRNGKey(0), b, deterministic=True)
+    kw = dict(
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    o_dense, st_d = model.apply(variables, b, **kw)
+    o_flat, st_f = model.apply(variables, _strip_tables(b), **kw)
+    m = np.asarray(b.graph_mask)
+    np.testing.assert_allclose(
+        np.asarray(o_dense)[m], np.asarray(o_flat)[m], rtol=5e-4, atol=5e-5
+    )
+    for vd, vf in zip(
+        jax.tree_util.tree_leaves(st_d), jax.tree_util.tree_leaves(st_f)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(vd), np.asarray(vf), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_overflow_falls_back_to_flat():
     """Rows that exceed the spec's hedge/incidence capacities must yield a
     batch WITHOUT tables (flat segment path), not a corrupt one."""
