@@ -133,7 +133,7 @@ def bench_method(method: str, epochs: int = 5) -> dict:
         up, s = tx.update(g, s, p)
         return optax.apply_updates(p, up), s, l
 
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl="rbg")  # TPU-native dropout RNG (PERF.md)
     # compile + warmup, hard-synced via scalar fetch
     for b in batches[:2]:
         params, opt_state, l = step(params, opt_state, b, rng)

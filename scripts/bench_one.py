@@ -54,7 +54,7 @@ def main():
         up, s = tx.update(g, s, p)
         return optax.apply_updates(p, up), s, l
 
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl="rbg")  # TPU-native dropout RNG (PERF.md)
     for b in batches[:2]:
         params, opt_state, l = step(params, opt_state, b, rng)
     float(l)

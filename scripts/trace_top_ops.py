@@ -28,7 +28,7 @@ def main():
     from equihgnn_tpu import create_model
     from equihgnn_tpu.models.config import ModelConfig
 
-    pack_slots = not method.startswith("faformer")
+    pack_slots = True
     batches, _ = bench._make_batches(pack_slots)
     cfg = ModelConfig(
         mlp_hidden=bench.HIDDEN, output_hidden=128, all_num_layers=3,
