@@ -196,16 +196,33 @@ def main():
     if os.path.exists("BENCH_BASELINE.json"):
         with open("BENCH_BASELINE.json") as f:
             baseline = json.load(f).get("value")
-    print(
-        json.dumps(
-            {
-                "metric": "qm9_synthetic_train_molecules_per_sec_per_chip",
-                "value": flagship,
-                "unit": "molecules/sec/chip",
-                "vs_baseline": round(flagship / baseline, 3) if baseline else 1.0,
-            }
+    line = {
+        "metric": "qm9_synthetic_train_molecules_per_sec_per_chip",
+        "value": flagship,
+        "unit": "molecules/sec/chip",
+        "vs_baseline": round(flagship / baseline, 3) if baseline else 1.0,
+    }
+    # External anchors (PERF.md "External anchors"): measured CPU-torch
+    # reference throughput (scripts/ref_capture/bench_reference_cpu.py) and
+    # an analytic A100 estimate from the XLA FLOPs count at a generous
+    # 15-40% achievable-MFU band on 312 TFLOP/s bf16.
+    if os.path.exists("REFERENCE_CPU_BENCH.json"):
+        with open("REFERENCE_CPU_BENCH.json") as f:
+            ref = json.load(f).get("egnn_equihnns")
+        if ref:
+            line["reference_cpu_mols_per_sec"] = round(ref["mols_per_sec"], 1)
+            line["vs_reference_cpu"] = round(flagship / ref["mols_per_sec"], 2)
+    tflops = results["egnn_equihnns"].get("tflops_per_step")
+    step_ms = results["egnn_equihnns"].get("step_time_ms")
+    if tflops and step_ms:
+        a100_peak = 312e12
+        for label, mfu in (("hi", 0.40), ("lo", 0.15)):
+            est_step = tflops * 1e12 / (a100_peak * mfu)
+            line[f"a100_est_{label}_mols_per_sec"] = round(BATCH / est_step, 1)
+        line["vs_a100_estimate_hi_mfu"] = round(
+            flagship / line["a100_est_hi_mols_per_sec"], 2
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

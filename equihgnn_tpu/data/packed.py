@@ -209,7 +209,9 @@ def pack_batch(
                 _c_ptr(out["vertex_idx"], i32), _c_ptr(out["hedge_idx"], i32),
                 _c_ptr(out["inc_mask"], u8), i64(Z),
                 _c_ptr(out["hedge_mask"], u8), i64(E),
-                _c_ptr(aslot, i32), _c_ptr(arow, i32),
+                _c_ptr(aslot, i32),
+                _c_ptr(out["hedge_graph_id"], i32),
+                _c_ptr(sgid, i32), i64(A), i64(G),
                 i64(rr), i64(He), i64(Ni),
                 _c_ptr(t["hedge_row"], i32), _c_ptr(t["hedge_slot"], i32),
                 _c_ptr(t["hedge_slot_index"], i32),

@@ -170,7 +170,10 @@ int build_incidence_slot_tables(
     const int32_t* vertex_idx, const int32_t* hedge_idx,
     const uint8_t* inc_mask, int64_t NNZ,
     const uint8_t* hedge_mask, int64_t E,
-    const int32_t* atom_slot, const int32_t* atom_row,   // [N]
+    const int32_t* atom_slot,                            // [N]
+    const int32_t* hedge_graph_id,                       // [E]
+    const int32_t* slot_gid,                             // [R, A]
+    int64_t A, int64_t G,
     int64_t R, int64_t He, int64_t Ni,
     int32_t* hedge_row,        // [E]
     int32_t* hedge_slot,       // [E]
@@ -180,7 +183,6 @@ int build_incidence_slot_tables(
     int32_t* inc_slot_hedge,   // [R, Ni]
     uint8_t* inc_slot_mask     // [R, Ni]
 ) {
-    for (int64_t e = 0; e < E; ++e) hedge_row[e] = (int32_t)(R - 1);
     std::memset(hedge_slot, 0, sizeof(int32_t) * E);
     std::memset(hedge_slot_index, 0, sizeof(int32_t) * R * He);
     std::memset(hedge_slot_mask, 0, R * He);
@@ -188,8 +190,18 @@ int build_incidence_slot_tables(
     std::memset(inc_slot_hedge, 0, sizeof(int32_t) * R * Ni);
     std::memset(inc_slot_mask, 0, R * Ni);
 
-    for (int64_t zi = 0; zi < NNZ; ++zi)
-        if (inc_mask[zi]) hedge_row[hedge_idx[zi]] = atom_row[vertex_idx[zi]];
+    // hedge_row from hedge_graph_id via the slot_gid row table — identical to
+    // batching.incidence_slot_tables (a masked-in hyperedge with zero valid
+    // incidence entries still lands in its molecule's row).
+    std::vector<int32_t> row_of_graph(G, (int32_t)(R - 1));
+    for (int64_t r = 0; r < R; ++r)
+        for (int64_t a = 0; a < A; ++a) {
+            const int32_t g = slot_gid[r * A + a];
+            if (g >= 0) row_of_graph[g] = (int32_t)r;
+        }
+    for (int64_t e = 0; e < E; ++e)
+        hedge_row[e] = hedge_mask[e] ? row_of_graph[hedge_graph_id[e]]
+                                     : (int32_t)(R - 1);
 
     std::vector<int64_t> fill(R, 0);
     for (int64_t e = 0; e < E; ++e) {

@@ -7,6 +7,14 @@ lucidrains/egnn-pytorch). Faithfully replicated semantics:
   * ranking and `rel_dist` use the **squared** distance, and `valid_radius`
     is compared against the squared distance (`egnn_layer.py:256,283-285`) —
     an effective radius of sqrt(5) Å for the model config's 5.0.
+  * **the radius mask is dead code on the model path**: the reference only
+    folds `nbhd_mask` into the message/coordinate masking when a `mask`
+    argument is given (`egnn_layer.py:312-338`), and every EquiHNN hybrid
+    calls EGNN without one (`equihnn_egnn.py:158`) — so all k=16 neighbors
+    contribute regardless of distance. Replicated via
+    `apply_radius_mask=False` (default); set True for the radius semantics
+    the reference presumably intended (verified against CPU-torch goldens in
+    `tests/test_reference_goldens.py`).
   * the self edge is kept (no exclusion before top-k, distance 0).
   * edge MLP [Linear(2d+1 → 2(2d+1)), SiLU, Linear(→ m_dim), SiLU],
     coord MLP [Linear(m → 4m), SiLU, Linear(4m → 1)],
@@ -114,6 +122,7 @@ class EGNN(nn.Module):
     update_coors: bool = True
     m_pool_method: str = "sum"
     cross_molecule: bool = False
+    apply_radius_mask: bool = False  # reference: radius dead when mask=None
 
     def _message_pass(self, feats, coors, rel_coors, rel_dist, gather_j,
                       pair_mask, deterministic):
@@ -151,7 +160,7 @@ class EGNN(nn.Module):
             else:
                 m_i = jnp.sum(m_ij, axis=-2)
             normed = (
-                nn.LayerNorm(name="node_norm")(feats) if self.norm_feats else feats
+                nn.LayerNorm(epsilon=1e-5, name="node_norm")(feats) if self.norm_feats else feats
             )
             h = jnp.concatenate([normed, m_i], axis=-1)
             h = _EGNNLinear(2 * d, name="node_mlp_0")(h)
@@ -194,7 +203,7 @@ class EGNN(nn.Module):
             pd = coors[slot_index] * sm[..., None]
             nbr_idx, nbr_mask, _ = knn_dense(
                 pd, sm, k,
-                valid_radius=self.valid_radius,
+                valid_radius=self.valid_radius if self.apply_radius_mask else None,
                 squared_radius=True,  # reference quirk: radius vs squared dist
                 exclude_self=False,
                 slot_gid=slot_gid,
@@ -218,7 +227,7 @@ class EGNN(nn.Module):
             coors, k,
             mask=mask,
             graph_id=gid,
-            valid_radius=self.valid_radius,
+            valid_radius=self.valid_radius if self.apply_radius_mask else None,
             squared_radius=True,  # reference quirk
             exclude_self=False,
         )

@@ -134,7 +134,7 @@ class RadialTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, edge_feat):
-        ln = lambda name: nn.LayerNorm(use_bias=False, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_bias=False, name=name)
         h = TorchLinear(self.hidden, name="lin0")(edge_feat)
         h = ln("ln0")(nn.silu(h))
         h = TorchLinear(self.hidden, name="lin1")(h)

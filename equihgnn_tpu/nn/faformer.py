@@ -91,12 +91,13 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
         (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
         & mask[..., None]
     ).astype(jnp.float32)  # [R, P, B]
-    cnt = jnp.maximum(jnp.einsum("rpb->b", ohg), 1.0)  # [B]
+    raw_cnt = jnp.einsum("rpb->b", ohg)  # [B] true atom count per molecule
+    cnt = jnp.maximum(raw_cnt, 1.0)
     center_g = jnp.einsum("rpb,rpd->bd", ohg, coords) / cnt[:, None]
     center = jnp.einsum("rpb,bd->rpd", ohg, center_g)  # per-slot (0 at pad)
     x = (coords - center) * mask[..., None].astype(coords.dtype)
     cov_g = jax.lax.stop_gradient(jnp.einsum("rpb,rpi,rpj->bij", ohg, x, x))
-    deg = (cnt < 0.5)[:, None, None]
+    deg = (raw_cnt < 0.5)[:, None, None]
     f_ops_g = _sign_frames(cov_g, deg)  # [B, 8, 3, 3]
     f_ops = jnp.einsum("rpb,boij->rpoij", ohg, f_ops_g)  # per-slot
     h = jnp.einsum("rpoji,rpj->ropi", f_ops, x)  # [R, 8, P, 3]
@@ -138,7 +139,7 @@ class _MLP(nn.Module):
         x = act(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x).astype(dt)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x).astype(dt)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -160,7 +161,7 @@ class _SwiGLU(nn.Module):
         x = nn.silu(x1) * x2
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x).astype(dt)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x).astype(dt)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -224,7 +225,7 @@ class FAFFN(nn.Module):
     @nn.compact
     def __call__(self, token, geo, slot_mask, deterministic=True,
                  slot_gid=None, num_graphs=None):
-        token = nn.LayerNorm(name="ln")(token).astype(token.dtype)
+        token = nn.LayerNorm(epsilon=1e-5, name="ln")(token).astype(token.dtype)
         frames, _, _ = create_frame(
             geo, slot_mask, slot_gid, num_graphs
         )  # [G, 8, A, 3]
@@ -240,7 +241,17 @@ class FAFFN(nn.Module):
 
 
 class MLPAttnEdgeAggregation(nn.Module):
-    """MLP attention + equivariant multi-head geometric aggregation (`:403-573`)."""
+    """MLP attention + multi-head geometric aggregation (`:403-573`).
+
+    Reference bug replicated by default (`faithful_frame_agg=False`): for
+    n_heads>1 the reference gathers neighbor frame projections with
+    un-offset flat indices (`fa_former_layer.py:540-548`), so every frame
+    reads frame 0's rows; the per-frame context is then frame-constant, and
+    averaging `F_op · const` over all 8 sign ops cancels to exactly zero —
+    the coordinate update collapses to `center·gate + geo·(1−gate)`
+    (verified to 7e-9 against CPU torch; tests/test_reference_goldens.py).
+    `faithful_frame_agg=True` runs the equivariant aggregation the code
+    intended."""
 
     d_model: int
     d_edge_model: int
@@ -248,6 +259,7 @@ class MLPAttnEdgeAggregation(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     activation: str = "gelu"
+    faithful_frame_agg: bool = False
 
     @nn.compact
     def __call__(
@@ -261,13 +273,13 @@ class MLPAttnEdgeAggregation(nn.Module):
         residual = token
 
         qkv = TorchLinear(3 * d, name="qkv_lin")(
-            nn.LayerNorm(name="qkv_ln")(token).astype(token.dtype)
+            nn.LayerNorm(epsilon=1e-5, name="qkv_ln")(token).astype(token.dtype)
         )
         q_s, k_s, v_s = [
             t.reshape(g, a, nh, dh) for t in jnp.split(qkv, 3, axis=-1)
         ]
         qv_e = TorchLinear(2 * de, name="qkv_edge_lin")(
-            nn.LayerNorm(name="qkv_edge_ln")(edge_feats).astype(edge_feats.dtype)
+            nn.LayerNorm(epsilon=1e-5, name="qkv_edge_ln")(edge_feats).astype(edge_feats.dtype)
         )
         q_e, v_e = [
             t.reshape(g, a, k, nh, deh) for t in jnp.split(qv_e, 2, axis=-1)
@@ -303,6 +315,25 @@ class MLPAttnEdgeAggregation(nn.Module):
         if nh == 1:
             geo_nb = nbr_gather(geo, nbr_idx, nbr_mask)  # [G, A, k, 3]
             geo_ctx = jnp.einsum("gakh,gakd->gad", attn, geo_nb)
+        elif not self.faithful_frame_agg:
+            # reference-bug path (see class docstring): the multi-head
+            # aggregation reduces to the per-molecule centroid
+            mf = slot_mask[..., None].astype(jnp.float32)
+            gf = geo.astype(jnp.float32)
+            if slot_gid is None:
+                cnt = jnp.maximum(jnp.sum(mf, axis=-2, keepdims=True), 1.0)
+                center = jnp.sum(gf * mf, axis=-2, keepdims=True) / cnt
+                geo_ctx = (jnp.broadcast_to(center, geo.shape) * mf).astype(
+                    geo.dtype
+                )
+            else:
+                ohg = (
+                    (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
+                    & slot_mask[..., None]
+                ).astype(jnp.float32)  # [R, A, B]
+                cnt = jnp.maximum(jnp.einsum("rab->b", ohg), 1.0)
+                cg = jnp.einsum("rab,rad->bd", ohg, gf) / cnt[:, None]
+                geo_ctx = jnp.einsum("rab,bd->rad", ohg, cg).astype(geo.dtype)
         else:
             # frame-averaged multi-head aggregation (`:510-567`)
             frames, f_ops, center = create_frame(
@@ -340,6 +371,7 @@ class FAFormerEncoderLayer(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     activation: str = "gelu"
+    faithful_frame_agg: bool = False
 
     @nn.compact
     def __call__(
@@ -348,7 +380,8 @@ class FAFormerEncoderLayer(nn.Module):
     ):
         token, geo = MLPAttnEdgeAggregation(
             self.d_model, self.d_edge_model, self.n_heads,
-            self.proj_drop, self.attn_drop, self.activation, name="self_attn",
+            self.proj_drop, self.attn_drop, self.activation,
+            faithful_frame_agg=self.faithful_frame_agg, name="self_attn",
         )(token, geo, edge_feats, nbr_idx, nbr_mask, slot_mask, deterministic,
           slot_gid, num_graphs)
         edge_feats = edge_feats + EdgeModule(
@@ -378,6 +411,7 @@ class FAFormer(nn.Module):
     proj_drop: float = 0.1
     attn_drop: float = 0.1
     activation: str = "silu"
+    faithful_frame_agg: bool = False  # True = intended equivariant agg
 
     @nn.compact
     def __call__(
@@ -416,6 +450,7 @@ class FAFormer(nn.Module):
             td, geo, edge_feats = FAFormerEncoderLayer(
                 self.d_model, self.d_edge_model, self.n_heads,
                 self.proj_drop, self.attn_drop, self.activation,
+                faithful_frame_agg=self.faithful_frame_agg,
                 name=f"layers_{i}",
             )(td, geo, edge_feats, nbr_idx, nbr_mask, sm, deterministic,
               slot_gid, num_graphs)

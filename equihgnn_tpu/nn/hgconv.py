@@ -135,6 +135,10 @@ class MHNNConv(nn.Module):
             )
             me_d = _dense_reduce(oe, mve, self.aggr)  # [R, He, d]
             me = me_d[hedge_row, hedge_slot]
+            if hedge_mask is not None:
+                # padded hyperedges point at (R-1, 0), which can hold a real
+                # message — zero them to keep the e tensor flat-path-identical
+                me = me * hedge_mask[..., None].astype(me.dtype)
             e = apply_w(w2, jnp.concatenate([e, me], -1), hedge_mask)
             # E→V messages
             mev = apply_w(

@@ -119,9 +119,9 @@ class RadialTrunkSE3(nn.Module):
     @nn.compact
     def __call__(self, rel_dist):
         h = TorchLinear(self.mid_dim, name="lin0")(rel_dist)
-        h = nn.gelu(nn.LayerNorm(name="ln0")(h))
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, name="ln0")(h))
         h = TorchLinear(self.mid_dim, name="lin1")(h)
-        h = nn.gelu(nn.LayerNorm(name="ln1")(h))
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, name="ln1")(h))
         return h
 
 

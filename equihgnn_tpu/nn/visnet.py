@@ -190,7 +190,7 @@ class ViS_MP(nn.Module):
         gar = jnp.arange(g)[:, None, None]
 
         dt_in = x.dtype
-        x = nn.LayerNorm(name="layernorm")(x).astype(dt_in)
+        x = nn.LayerNorm(epsilon=1e-5, name="layernorm")(x).astype(dt_in)
         vec = VecLayerNorm(
             h, trainable=self.trainable_vecnorm, norm_type=self.vecnorm_type,
             name="vec_layernorm",
@@ -408,7 +408,7 @@ class ViSNet(nn.Module):
             if not last:
                 f_ij = f_ij + df
 
-        x = nn.LayerNorm(name="out_norm")(x).astype(jnp.float32)
+        x = nn.LayerNorm(epsilon=1e-5, name="out_norm")(x).astype(jnp.float32)
         vec = VecLayerNorm(
             h, trainable=self.trainable_vecnorm, norm_type=self.vecnorm_type,
             name="vec_out_norm",

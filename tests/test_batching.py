@@ -8,6 +8,9 @@ from equihgnn_tpu.data.batching import (
     spec_for_samples,
 )
 from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_hypergraph_packing_invariants(rng):

@@ -3,6 +3,9 @@
 import numpy as np
 
 from equihgnn_tpu.ops.eigh3 import eigh3x3, eigvalsh3x3
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _random_covs(rng, n, p=16):

@@ -13,6 +13,8 @@ import pytest
 import fake_rdkit as fr
 from equihgnn_tpu.data import featurize
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(autouse=True)
 def _fake_chem(monkeypatch):

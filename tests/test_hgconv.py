@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from equihgnn_tpu.nn.hgconv import MHNNConv, MHNNSConv
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _np_mlp(params, x, num_layers):

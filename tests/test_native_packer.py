@@ -10,6 +10,8 @@ from equihgnn_tpu.data.packed import PackedSamples, iter_packed_batches, pack_ba
 from equihgnn_tpu.data.synthetic import make_synthetic_dataset
 from equihgnn_tpu.native import native_available
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def data():

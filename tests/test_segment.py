@@ -2,6 +2,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from equihgnn_tpu.ops.segment import (
+import pytest
+
+pytestmark = pytest.mark.quick
     masked_segment_reduce,
     segment_max,
     segment_mean,
