@@ -366,11 +366,15 @@ class ViSNet(nn.Module):
         x = AtomEncoder(h, name="embedding")(zf)  # [G, A, h]
         x = x * sm[..., None]
 
-        # NeighborEmbedding (`visnet_layer.py:355-427`): self edges excluded
+        # NeighborEmbedding (`visnet_layer.py:355-427`): self edges excluded.
+        # The reference NeighborEmbedding embeds z through its OWN AtomEncoder
+        # (`visnet_layer.py:377,421`) — a second table, separate from the
+        # trunk embedding (round-4 fix, found by CPU-torch golden capture).
         ne_mask = nbr_mask & ~is_self
         C = cosine_cutoff(r_ij, self.cutoff)
         W = _Proj(h, name="neighbor_distance_proj")(f_rbf) * C[..., None]
-        x_j = nbr_gather(x, nbr_idx, nbr_mask)
+        x_src = AtomEncoder(h, name="neighbor_embedding")(zf) * sm[..., None]
+        x_j = nbr_gather(x_src, nbr_idx, nbr_mask)
         x_nbr = jnp.sum(
             jnp.where(ne_mask[..., None], x_j * W, 0.0), axis=2
         )

@@ -1,0 +1,92 @@
+"""Capture PyTorch-reference goldens for the 2-D GNN baselines (GIN / GCN).
+
+Runs the reference `GNN_2D` (`/root/reference/equihgnn/models/
+baseline_2d.py:19-206`) under CPU torch. The only shimmed machinery on this
+path is `MessagePassing` (source_to_target gather + scatter-add — the exact
+PyG semantics for these convs), `degree`, the pooling functions, and the
+OGB encoders (shims.py documents each contract).
+
+GAT/GATv2 use PyG's own GATConv/GATv2Conv (not in this image); their parity
+is covered by the self-oracles in tests/test_baseline2d_oracles.py instead.
+
+Usage: python scripts/ref_capture/capture_baseline2d.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+import shims  # noqa: E402
+
+shims.install()
+
+import torch  # noqa: E402
+
+from capture_core import randomize_bn_stats, save, state_arrays  # noqa: E402
+from equihgnn.models.baseline_2d import GNN_2D  # noqa: E402
+
+from equihgnn_tpu.data.synthetic import make_synthetic_dataset  # noqa: E402
+
+
+class GraphData:
+    def __init__(self, samples):
+        xs, srcs, dsts, efs, batch = [], [], [], [], []
+        a0 = 0
+        for g, s in enumerate(samples):
+            xs.append(s.atom_feat)
+            srcs.append(s.edge_src + a0)
+            dsts.append(s.edge_dst + a0)
+            efs.append(s.edge_feat)
+            batch.append(np.full(s.n_atoms, g))
+            a0 += s.n_atoms
+        self.x = torch.from_numpy(np.concatenate(xs).astype(np.int64))
+        self.edge_index = torch.from_numpy(
+            np.stack([np.concatenate(srcs), np.concatenate(dsts)]).astype(np.int64)
+        )
+        self.edge_attr = torch.from_numpy(np.concatenate(efs).astype(np.int64))
+        self.batch = torch.from_numpy(np.concatenate(batch).astype(np.int64))
+
+    def arrays(self):
+        return {
+            "in::x": self.x.numpy(),
+            "in::edge_index": self.edge_index.numpy(),
+            "in::edge_attr": self.edge_attr.numpy(),
+            "in::batch": self.batch.numpy(),
+        }
+
+
+def capture(gnn_type: str, jk="last", pooling="mean", num_layer=3, emb_dim=64):
+    samples = make_synthetic_dataset(6, seed=71, hyper=False)
+    data = GraphData(samples)
+    torch.manual_seed(83)
+    model = GNN_2D(1, num_layer=num_layer, emb_dim=emb_dim, gnn_type=gnn_type,
+                   JK=jk, graph_pooling=pooling)
+    gen = torch.Generator().manual_seed(89)
+    randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(data)
+    payload = {**data.arrays(), "out::y": out.numpy(), **state_arrays(model)}
+    # train-mode pass exercises live BN statistics through every conv + trunk
+    m2 = GNN_2D(1, num_layer=num_layer, emb_dim=emb_dim, gnn_type=gnn_type,
+                JK=jk, graph_pooling=pooling)
+    m2.load_state_dict(model.state_dict())
+    m2.train()
+    with torch.no_grad():
+        yt = m2(data)
+    payload["out::y_train"] = yt.numpy()
+    name = f"model_{gnn_type}_{jk}_{pooling}"
+    save(name, payload)
+
+
+if __name__ == "__main__":
+    torch.set_num_threads(4)
+    capture("gin", jk="last", pooling="mean")
+    capture("gin", jk="sum", pooling="sum")
+    capture("gcn", jk="last", pooling="mean")

@@ -98,40 +98,119 @@ class BondEncoder(nn.Module):
 
 # ---------------------------------------------------------- torch_geometric bits
 class MessagePassing(nn.Module):
-    """source_to_target flow, "add" aggregation — the only mode the reference
-    GIN/GCN convs use (`baseline_2d.py:19-74`)."""
+    """source_to_target flow, "add" aggregation, PyG suffix convention:
+    a message/edge_update argument `foo_j` gathers kwarg `foo` at the edge
+    SOURCE (edge_index[0]), `foo_i` at the TARGET (edge_index[1]); other
+    names pass through as edge-level tensors. Aggregation scatter-adds to
+    the target (overridable via `aggregate`, as ViS_MP does for its tuple
+    messages — `visnet_layer.py:669-679`)."""
 
     def __init__(self, aggr="add", flow="source_to_target", node_dim=0):
         super().__init__()
         assert aggr == "add"
         self.aggr = aggr
+        self.node_dim = node_dim
 
-    def propagate(self, edge_index, x=None, **kwargs):
-        src, dst = edge_index[0], edge_index[1]
-        msg_kwargs = {}
-        for name, val in {"x": x, **kwargs}.items():
-            if val is None:
-                continue
-            if name.endswith("_j"):
-                msg_kwargs[name] = val
-            elif isinstance(val, torch.Tensor) and val.shape[0] == x.shape[0] \
-                    and name == "x":
-                msg_kwargs["x_j"] = val[src]
-            else:
-                msg_kwargs[name] = val
+    def _resolve(self, fn, edge_index, kwargs):
         import inspect
 
-        sig = inspect.signature(self.message)
-        call = {k: v for k, v in msg_kwargs.items() if k in sig.parameters}
+        src, dst = edge_index[0], edge_index[1]
+        call = {}
+        n_nodes = None
+        for name in inspect.signature(fn).parameters:
+            if name in ("ptr", "dim_size", "index"):
+                continue
+            if name.endswith("_j") and name[:-2] in kwargs:
+                call[name] = kwargs[name[:-2]][src]
+                n_nodes = kwargs[name[:-2]].shape[0]
+            elif name.endswith("_i") and name[:-2] in kwargs:
+                call[name] = kwargs[name[:-2]][dst]
+                n_nodes = kwargs[name[:-2]].shape[0]
+            elif name in kwargs:
+                call[name] = kwargs[name]
+        if n_nodes is None:
+            n_nodes = int(dst.max().item()) + 1
+        return call, n_nodes
+
+    def propagate(self, edge_index, **kwargs):
+        call, n_nodes = self._resolve(self.message, edge_index, kwargs)
         msgs = self.message(**call)
-        out = scatter(msgs, dst, dim=0, dim_size=x.shape[0], reduce="sum")
+        out = self.aggregate(msgs, edge_index[1], None, n_nodes)
         return self.update(out)
+
+    def edge_updater(self, edge_index, **kwargs):
+        call, _ = self._resolve(self.edge_update, edge_index, kwargs)
+        return self.edge_update(**call)
+
+    def aggregate(self, msgs, index, ptr, dim_size):
+        return scatter(msgs, index, dim=0, dim_size=dim_size, reduce="sum")
 
     def message(self, x_j):
         return x_j
 
     def update(self, aggr_out):
         return aggr_out
+
+
+def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32,
+                 flow="source_to_target"):
+    """torch_cluster.radius_graph: all same-batch pairs within radius r,
+    edge_index[0]=source/neighbor j, edge_index[1]=target/center i.
+    NOTE: torch_cluster caps per-center neighbors at max_num_neighbors in
+    INDEX order; this shim returns them all — golden captures must use
+    molecules small enough that the cap never binds."""
+    n = x.shape[0]
+    if batch is None:
+        batch = torch.zeros(n, dtype=torch.long)
+    d = torch.cdist(x, x)
+    ok = (d <= r) & (batch.unsqueeze(0) == batch.unsqueeze(1))
+    if not loop:
+        ok &= ~torch.eye(n, dtype=torch.bool)
+    i_idx, j_idx = ok.nonzero(as_tuple=True)  # i = center row, j = neighbor
+    counts = torch.bincount(i_idx, minlength=n)
+    assert int(counts.max()) <= max_num_neighbors + (0 if loop else 1), (
+        "radius_graph shim: max_num_neighbors cap would bind — torch_cluster "
+        "truncates in index order, use smaller molecules for goldens"
+    )
+    assert flow == "source_to_target"
+    return torch.stack([j_idx, i_idx], dim=0)
+
+
+class GatedEquivariantBlock(nn.Module):
+    """torch_geometric.nn.models.visnet.GatedEquivariantBlock (PaiNN-style):
+    vec norms gate a scalar/vector update MLP."""
+
+    def __init__(self, hidden_channels, out_channels,
+                 intermediate_channels=None, scalar_activation=False):
+        super().__init__()
+        self.out_channels = out_channels
+        intermediate_channels = intermediate_channels or hidden_channels
+        self.vec1_proj = nn.Linear(hidden_channels, hidden_channels, bias=False)
+        self.vec2_proj = nn.Linear(hidden_channels, out_channels, bias=False)
+        self.update_net = nn.Sequential(
+            nn.Linear(hidden_channels * 2, intermediate_channels),
+            nn.SiLU(),
+            nn.Linear(intermediate_channels, out_channels * 2),
+        )
+        self.act = nn.SiLU() if scalar_activation else None
+
+    def reset_parameters(self):
+        nn.init.xavier_uniform_(self.vec1_proj.weight)
+        nn.init.xavier_uniform_(self.vec2_proj.weight)
+        nn.init.xavier_uniform_(self.update_net[0].weight)
+        self.update_net[0].bias.data.zero_()
+        nn.init.xavier_uniform_(self.update_net[2].weight)
+        self.update_net[2].bias.data.zero_()
+
+    def forward(self, x, v):
+        vec1 = torch.norm(self.vec1_proj(v), dim=-2)
+        vec2 = self.vec2_proj(v)
+        x = torch.cat([x, vec1], dim=-1)
+        x, v_gate = torch.split(self.update_net(x), self.out_channels, dim=-1)
+        v = v_gate.unsqueeze(1) * vec2
+        if self.act is not None:
+            x = self.act(x)
+        return x, v
 
 
 def degree(index, num_nodes=None, dtype=None):
@@ -207,12 +286,12 @@ def install():
     tgn.GATConv = _Unused
     tgn.GATv2Conv = _Unused
     tgn.GlobalAttention = _Unused
-    tgn.radius_graph = None  # replaced by a real impl if visnet capture lands
+    tgn.radius_graph = radius_graph
     tga.Set2Set = _Unused
     tgu.degree = degree
     tgu.scatter = scatter
     tgu.to_dense_batch = to_dense_batch
-    tgv.GatedEquivariantBlock = _Unused
+    tgv.GatedEquivariantBlock = GatedEquivariantBlock
     tg.nn = tgn
     tgn.aggr = tga
     tgn.models = tgm

@@ -238,9 +238,13 @@ def _model_batch():
 def model_tree(name, st, cfg):
     """Map a reference MHNN-family state dict onto our model tree."""
     params, stats = {}, {}
-    # AtomEncoder: 9 torch tables -> one flat offset table
-    tables = [st[f"atom_encoder.atom_embedding_list.{i}.weight"] for i in range(9)]
-    params["atom_encoder"] = {"atom": {"embedding": np.concatenate(tables, 0)}}
+    # AtomEncoder: 9 torch tables -> one flat offset table (absent for
+    # hybrids whose encoder embeds atoms itself, e.g. ViSNet)
+    if "atom_encoder.atom_embedding_list.0.weight" in st:
+        tables = [
+            st[f"atom_encoder.atom_embedding_list.{i}.weight"] for i in range(9)
+        ]
+        params["atom_encoder"] = {"atom": {"embedding": np.concatenate(tables, 0)}}
     trunk_p, trunk_s = {}, {}
     if name in ("mhnn", "mhnnm", "mhnn_prelu_sum"):
         trunk_p["bond_encoder"] = {"embedding": st["bond_encoder.weight"]}
@@ -519,4 +523,181 @@ def test_faformer_model_golden():
     out = model.apply(variables, batch, deterministic=True)
     np.testing.assert_allclose(
         np.asarray(out)[:1], d["out::y"], atol=2e-4, rtol=1e-3
+    )
+
+
+# -------------------------------------------------------- 2-D GNN baselines
+def gnn2d_tree(st, gnn_type, num_layer=3):
+    """Map the reference GNN_2D state dict (`baseline_2d.py:77-206`) onto our
+    GNN2D tree (GIN/GCN — GAT uses PyG convs not capturable here)."""
+    params, stats = {}, {}
+    atoms = [st[f"atom_encoder.atom_embedding_list.{i}.weight"] for i in range(9)]
+    bonds = [st[f"bond_encoder.bond_embedding_list.{i}.weight"] for i in range(3)]
+    params["atom_encoder"] = {"atom": {"embedding": np.concatenate(atoms, 0)}}
+    params["bond_encoder"] = {"bond": {"embedding": np.concatenate(bonds, 0)}}
+    for i in range(num_layer):
+        C = f"convs.{i}"
+        if gnn_type == "gin":
+            params[f"convs_{i}"] = {
+                "eps": st[f"{C}.eps"].reshape(()),
+                "mlp_lin0": {
+                    "kernel": st[f"{C}.mlp.0.weight"].T,
+                    "bias": st[f"{C}.mlp.0.bias"],
+                },
+                "mlp_bn": {
+                    "scale": st[f"{C}.mlp.1.weight"],
+                    "bias": st[f"{C}.mlp.1.bias"],
+                },
+                "mlp_lin1": {
+                    "kernel": st[f"{C}.mlp.3.weight"].T,
+                    "bias": st[f"{C}.mlp.3.bias"],
+                },
+            }
+            stats[f"convs_{i}"] = {
+                "mlp_bn": {
+                    "mean": st[f"{C}.mlp.1.running_mean"],
+                    "var": st[f"{C}.mlp.1.running_var"],
+                }
+            }
+        else:  # gcn
+            params[f"convs_{i}"] = {
+                "linear": {
+                    "kernel": st[f"{C}.linear.weight"].T,
+                    "bias": st[f"{C}.linear.bias"],
+                },
+                "root_emb": st[f"{C}.root_emb.weight"].reshape(-1),
+            }
+        params[f"batch_norms_{i}"] = {
+            "scale": st[f"batch_norms.{i}.weight"],
+            "bias": st[f"batch_norms.{i}.bias"],
+        }
+        stats[f"batch_norms_{i}"] = {
+            "mean": st[f"batch_norms.{i}.running_mean"],
+            "var": st[f"batch_norms.{i}.running_var"],
+        }
+    params["graph_pred_linear"] = {
+        "kernel": st["graph_pred_linear.weight"].T,
+        "bias": st["graph_pred_linear.bias"],
+    }
+    return as_vars(params, stats)
+
+
+@pytest.mark.parametrize(
+    "gnn_type,jk,pooling",
+    [("gin", "last", "mean"), ("gin", "sum", "sum"), ("gcn", "last", "mean")],
+)
+def test_gnn2d_golden(gnn_type, jk, pooling):
+    import dataclasses
+
+    import equihgnn_tpu.models  # noqa: F401
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.data.batching import pad_graph_batch
+
+    d = load(f"model_{gnn_type}_{jk}_{pooling}")
+    st = _state(d)
+    cfg = dataclasses.replace(
+        _model_cfg(), gnn_num_layer=3, gnn_emb_dim=64, gnn_jk=jk,
+        gnn_graph_pooling=pooling,
+    )
+    samples = make_synthetic_dataset(6, seed=71, hyper=False)
+    spec = BatchSpec(num_graphs=8, num_atoms=256, num_hedges=512, nnz=512)
+    batch = jax.tree.map(jnp.asarray, pad_graph_batch(samples, spec, target=0))
+    model = create_model(gnn_type, num_target=1, cfg=cfg, gnn_type=gnn_type)
+    variables = gnn2d_tree(st, gnn_type)
+    out = model.apply(variables, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:6], d["out::y"], atol=2e-5, rtol=1e-4
+    )
+    out_t, _ = model.apply(
+        variables, batch, deterministic=False,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t)[:6], d["out::y_train"], atol=2e-5, rtol=1e-4
+    )
+
+
+# ----------------------------------------------------------------- ViSNet
+def _proj(st, name, bias=True):
+    p = {"kernel": st[f"{name}.weight"].T}
+    if bias:
+        p["bias"] = st[f"{name}.bias"]
+    return p
+
+
+def _atom_enc(st, name):
+    tables = [
+        st[f"{name}.atom_embedding_list.{i}.weight"] for i in range(9)
+    ]
+    return {"atom": {"embedding": np.concatenate(tables, 0)}}
+
+
+def visnet_tree(st, num_layers=6):
+    """Map the reference ViSNet state dict (`visnet_layer.py:754-1053`) onto
+    our flax ViSNet tree."""
+    R = "representation_model"
+    p = {
+        "embedding": _atom_enc(st, f"{R}.embedding"),
+        "neighbor_embedding": _atom_enc(st, f"{R}.neighbor_embedding.embedding"),
+        "neighbor_distance_proj": _proj(st, f"{R}.neighbor_embedding.distance_proj"),
+        "neighbor_combine": _proj(st, f"{R}.neighbor_embedding.combine"),
+        "edge_proj": _proj(st, f"{R}.edge_embedding.edge_proj"),
+        "out_norm": _ln(st, f"{R}.out_norm"),
+    }
+    for i in range(num_layers):
+        L = f"{R}.vis_mp_layers.{i}"
+        lp = {
+            "layernorm": _ln(st, f"{L}.layernorm"),
+            "q_proj": _proj(st, f"{L}.q_proj"),
+            "k_proj": _proj(st, f"{L}.k_proj"),
+            "v_proj": _proj(st, f"{L}.v_proj"),
+            "dk_proj": _proj(st, f"{L}.dk_proj"),
+            "dv_proj": _proj(st, f"{L}.dv_proj"),
+            "vec_proj": _proj(st, f"{L}.vec_proj", bias=False),
+            "s_proj": _proj(st, f"{L}.s_proj"),
+            "o_proj": _proj(st, f"{L}.o_proj"),
+        }
+        if f"{L}.f_proj.weight" in st:  # not the last layer
+            lp["f_proj"] = _proj(st, f"{L}.f_proj")
+            lp["w_src_proj"] = _proj(st, f"{L}.w_src_proj", bias=False)
+            lp["w_trg_proj"] = _proj(st, f"{L}.w_trg_proj", bias=False)
+        p[f"vis_mp_layers_{i}"] = lp
+    for i in range(2):
+        O = f"output_model.output_network.{i}"
+        p[f"output_network_{i}"] = {
+            "vec1_proj": _proj(st, f"{O}.vec1_proj", bias=False),
+            "vec2_proj": _proj(st, f"{O}.vec2_proj", bias=False),
+            "update_net_0": _proj(st, f"{O}.update_net.0"),
+            "update_net_1": _proj(st, f"{O}.update_net.2"),
+        }
+    return p
+
+
+def test_visnet_model_golden():
+    """Full VisNetEquiHNNS vs reference (`equihnn_visnet.py:84-160`) — the
+    batch-aware encoder, multi-molecule batch (≤16 atoms so torch_cluster's
+    index-order neighbor cap never binds; see capture_visnet.py)."""
+    import equihgnn_tpu.models  # noqa: F401
+    from equihgnn_tpu import create_model
+
+    d = load("model_visnet_equihnns")
+    st = _state(d)
+    cfg = _model_cfg()
+    samples = [
+        s for s in make_synthetic_dataset(40, seed=97) if s.n_atoms <= 16
+    ][:6]
+    spec = BatchSpec(num_graphs=8, num_atoms=128, num_hedges=128, nnz=256,
+                     max_atoms_per_graph=16)
+    batch = jax.tree.map(
+        jnp.asarray, pad_hypergraph_batch(samples, spec, target=0, with_pos=True)
+    )
+    model = create_model("visnet_equihnns", num_target=1, cfg=cfg)
+    st_trunk = {k: v for k, v in st.items() if not k.startswith("visnet_layer.")}
+    variables = model_tree("mhnns", st_trunk, cfg)
+    variables["params"]["visnet_layer"] = jax.tree.map(
+        jnp.asarray, visnet_tree(_strip(st, "visnet_layer."))
+    )
+    out = model.apply(variables, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:6], d["out::y"], atol=2e-4, rtol=1e-3
     )
