@@ -48,8 +48,8 @@ class _EGNNLinear(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
+    def __call__(self, x, return_params: bool = False, fan_in: int | None = None):
+        fan_in = x.shape[-1] if fan_in is None else fan_in
         kernel = self.param(
             "kernel", _egnn_linear_init(), (fan_in, self.features)
         )
@@ -59,6 +59,8 @@ class _EGNNLinear(nn.Module):
             lambda k, s: jax.random.uniform(k, s, minval=-bound, maxval=bound),
             (self.features,),
         )
+        if return_params:
+            return kernel, bias
         return jnp.dot(x, kernel) + bias
 
 
@@ -76,7 +78,7 @@ class _EdgeLinear0(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, feats, rel_dist, gather_j):
+    def __call__(self, feats, rel_dist, gather_j, return_params: bool = False):
         d = self.dim
         wi = self.param("kernel_i", _egnn_linear_init(), (d, self.features))
         wj = self.param("kernel_j", _egnn_linear_init(), (d, self.features))
@@ -87,6 +89,8 @@ class _EdgeLinear0(nn.Module):
             lambda k, sh: jax.random.uniform(k, sh, minval=-bound, maxval=bound),
             (self.features,),
         )
+        if return_params:  # fused Pallas edge-MLP path (ops/pallas/edge_mlp.py)
+            return wi, wj, wd, bias
         ui = jnp.dot(feats, wi)  # [..., F] node-side
         uj = gather_j(jnp.dot(feats, wj))  # [..., k, F]
         return ui[..., None, :] + uj + rel_dist * wd[0] + bias
@@ -125,16 +129,38 @@ class EGNN(nn.Module):
     apply_radius_mask: bool = False  # reference: radius dead when mask=None
 
     def _message_pass(self, feats, coors, rel_coors, rel_dist, gather_j,
-                      pair_mask, deterministic):
+                      pair_mask, deterministic, nbr_idx=None):
         """Shared EGNN core over [..., k, *] neighbor tensors (flat or dense)."""
         d = self.dim
         drop = nn.Dropout(self.dropout)
-        m_ij = _EdgeLinear0(2 * (2 * d + 1), d, name="edge_mlp_0")(
-            feats, rel_dist, gather_j
+        fuse = (
+            nbr_idx is not None
+            and feats.ndim == 3
+            and (self.dropout == 0.0 or deterministic)
         )
-        m_ij = drop(m_ij, deterministic=deterministic)
-        m_ij = nn.silu(m_ij)
-        m_ij = nn.silu(_EGNNLinear(self.m_dim, name="edge_mlp_1")(m_ij))
+        if fuse:
+            # fused Pallas edge MLP: the [G, A, k, 2(2d+1)] pre-activation
+            # stays in VMEM (ops/pallas/edge_mlp.py; 56% of the unfused step)
+            from equihgnn_tpu.ops.pallas.edge_mlp import fused_edge_messages
+
+            F = 2 * (2 * d + 1)
+            wi, wj, wd, b0 = _EdgeLinear0(F, d, name="edge_mlp_0")(
+                None, None, None, return_params=True
+            )
+            w1, b1 = _EGNNLinear(self.m_dim, name="edge_mlp_1")(
+                None, return_params=True, fan_in=F
+            )
+            m_ij = fused_edge_messages(
+                jnp.dot(feats, wi), jnp.dot(feats, wj), rel_dist[..., 0],
+                nbr_idx, wd[0], b0, w1, b1,
+            )
+        else:
+            m_ij = _EdgeLinear0(2 * (2 * d + 1), d, name="edge_mlp_0")(
+                feats, rel_dist, gather_j
+            )
+            m_ij = drop(m_ij, deterministic=deterministic)
+            m_ij = nn.silu(m_ij)
+            m_ij = nn.silu(_EGNNLinear(self.m_dim, name="edge_mlp_1")(m_ij))
 
         coors_out = coors
         if self.update_coors:
@@ -214,7 +240,8 @@ class EGNN(nn.Module):
             rel_dist = jnp.sum(rel_coors * rel_coors, axis=-1, keepdims=True)
             gather_j = lambda t: nbr_gather(t, nbr_idx, nbr_mask)  # noqa: E731
             new_xd, new_pd = self._message_pass(
-                xd, pd, rel_coors, rel_dist, gather_j, nbr_mask, deterministic
+                xd, pd, rel_coors, rel_dist, gather_j, nbr_mask, deterministic,
+                nbr_idx=nbr_idx,
             )
             # scatter back to the flat layout (padded rows read slot 0 of
             # row 0 → deterministic zeros-derived values)

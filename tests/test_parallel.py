@@ -78,3 +78,39 @@ def test_dp_with_batchnorm_runs():
         make_empty=make_empty,
     )
     assert np.isfinite(tr.history[0]["val_mae_raw"])
+
+
+def test_dp_matches_single_device_geometric():
+    """DP ≡ single-device for a geometric encoder (egnn_equihnns) — the
+    kNN/dense-slot machinery must shard cleanly (VERDICT round-1 weak #3)."""
+    samples = make_synthetic_dataset(64, seed=3, with_pos=True)
+    for s in samples:
+        s.y = np.float32((s.n_atoms - 16.0) / 8.0)
+    from equihgnn_tpu.data.batching import BatchSpec
+
+    spec = BatchSpec(num_graphs=9, num_atoms=256, num_hedges=296, nnz=640,
+                     max_atoms_per_graph=32)
+    big_spec = BatchSpec(num_graphs=65, num_atoms=2048, num_hedges=2368,
+                         nnz=5120, max_atoms_per_graph=32)
+    make_empty = lambda: pad_hypergraph_batch([], spec, with_pos=True)
+
+    results = {}
+    for dp in [False, True]:
+        model = create_model(
+            "egnn_equihnns", num_target=1,
+            cfg=ModelConfig(mlp_hidden=16, output_hidden=8,
+                            axis_name="data" if dp else None),
+        )
+        cfg = TrainConfig(epochs=2, lr=1e-3, seed=0, data_parallel=dp)
+        use_spec = spec if dp else big_spec
+        example = pad_hypergraph_batch(samples[:8], use_spec, with_pos=True)
+        tr = Trainer(model, cfg, example, std=1.0)
+        tr.fit(
+            lambda e: iter_batches(samples, use_spec, shuffle=False,
+                                   with_pos=True),
+            lambda: iter_batches(samples, use_spec, with_pos=True),
+            make_empty=make_empty,
+        )
+        results[dp] = [h["val_mae_raw"] for h in tr.history]
+
+    np.testing.assert_allclose(results[False], results[True], rtol=5e-4, atol=5e-5)
