@@ -340,6 +340,16 @@ def pad_graph_batch(
     graph_mask = np.zeros((G,), dtype=bool)
     pos = np.zeros((N, 3), dtype=np.float32) if with_pos else None
     z = np.zeros((N,), dtype=np.int32) if with_pos else None
+    A, Me = spec.max_atoms_per_graph, spec.num_hedge_slots
+    dense = A > 0 and Me > 0
+    if dense:
+        slot_index = np.zeros((G, A), np.int32)
+        slot_mask = np.zeros((G, A), bool)
+        atom_slot = np.zeros((N,), np.int32)
+        eslot_src = np.zeros((G, Me), np.int32)
+        eslot_dst = np.zeros((G, Me), np.int32)
+        eslot_edge = np.full((G, Me), M - 1, np.int32)
+        eslot_mask = np.zeros((G, Me), bool)
 
     a0 = m0 = 0
     for g, s in enumerate(samples):
@@ -362,8 +372,27 @@ def pad_graph_batch(
             pos[a0 : a0 + na] = s.pos
             if s.z is not None:
                 z[a0 : a0 + na] = s.z
+        if dense:
+            if na > A or nm > Me:
+                raise ValueError(
+                    f"Graph {g} overflows dense view ({na}>{A} or {nm}>{Me})"
+                )
+            slot_index[g, :na] = np.arange(a0, a0 + na)
+            slot_mask[g, :na] = True
+            atom_slot[a0 : a0 + na] = np.arange(na)
+            eslot_src[g, :nm] = s.edge_src
+            eslot_dst[g, :nm] = s.edge_dst
+            eslot_edge[g, :nm] = np.arange(m0, m0 + nm)
+            eslot_mask[g, :nm] = True
         a0, m0 = a0 + na, m0 + nm
 
+    extra = {}
+    if dense:
+        extra = dict(
+            slot_index=slot_index, slot_mask=slot_mask, atom_slot=atom_slot,
+            eslot_src=eslot_src, eslot_dst=eslot_dst, eslot_edge=eslot_edge,
+            eslot_mask=eslot_mask,
+        )
     return GraphBatch(
         atom_feat=atom_feat,
         atom_mask=atom_mask,
@@ -376,6 +405,7 @@ def pad_graph_batch(
         graph_mask=graph_mask,
         pos=pos,
         z=z,
+        **extra,
     )
 
 

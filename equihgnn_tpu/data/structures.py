@@ -164,6 +164,16 @@ class GraphBatch:
     graph_mask: jnp.ndarray  # [num_graphs] bool
     pos: jnp.ndarray | None = None
     z: jnp.ndarray | None = None
+    # dense per-molecule view (present when spec.max_atoms_per_graph > 0):
+    # atoms get per-graph slots, edges get per-graph edge slots — the GAT
+    # attention then runs as molecule-batched dense softmax (no scatters)
+    slot_index: jnp.ndarray | None = None  # [G, A] atom idx per slot
+    slot_mask: jnp.ndarray | None = None  # [G, A]
+    atom_slot: jnp.ndarray | None = None  # [N] slot within own graph
+    eslot_src: jnp.ndarray | None = None  # [G, Me] src atom slot
+    eslot_dst: jnp.ndarray | None = None  # [G, Me] dst atom slot
+    eslot_edge: jnp.ndarray | None = None  # [G, Me] flat edge index
+    eslot_mask: jnp.ndarray | None = None  # [G, Me]
 
     @property
     def num_atoms(self) -> int:

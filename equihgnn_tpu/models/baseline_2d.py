@@ -107,45 +107,113 @@ class _GATBase(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_attr, edge_mask, atom_mask, deterministic):
-        n = x.shape[-2]
+    def __call__(self, x, edge_src=None, edge_dst=None, edge_attr=None,
+                 edge_mask=None, atom_mask=None, deterministic=True,
+                 dense=None):
         h, f = self.heads, self.emb_dim
         glorot = nn.initializers.xavier_uniform()
-
-        if not self.v2:
-            w = TorchLinear(h * f, use_bias=False, kernel_init=glorot, name="lin")
-            xs = w(x).reshape(n, h, f)
-            xd = xs
-        else:
-            xs = TorchLinear(h * f, use_bias=False, kernel_init=glorot, name="lin_l")(
-                x
-            ).reshape(n, h, f)
-            xd = TorchLinear(h * f, use_bias=False, kernel_init=glorot, name="lin_r")(
-                x
-            ).reshape(n, h, f)
-
-        e_proj = TorchLinear(
-            h * f, use_bias=False, kernel_init=glorot, name="lin_edge"
-        )
-        eattr = e_proj(edge_attr).reshape(-1, h, f)
-        # self-loop edge feature: mean of incoming real edge features per node
-        mean_in = segment_sum(edge_attr, edge_dst, n, mask=edge_mask)
-        cnt_in = segment_count(edge_dst, n, mask=edge_mask)[:, None]
-        eself = e_proj(mean_in / jnp.maximum(cnt_in, 1.0)).reshape(n, h, f)
-
+        d_edge = (dense[1] if dense is not None else edge_attr).shape[-1]
+        e_w = self.param("lin_edge_kernel", glorot, (d_edge, h * f))
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=self.negative_slope)
+        bias = self.param("bias", nn.initializers.zeros, (f,))
         if not self.v2:
             att_src = self.param("att_src", glorot, (1, h, f))
             att_dst = self.param("att_dst", glorot, (1, h, f))
             att_edge = self.param("att_edge", glorot, (1, h, f))
-            a_src = (xs * att_src).sum(-1)  # [n, h]
-            a_dst = (xd * att_dst).sum(-1)
-            logits = lrelu(
-                a_src[edge_src] + a_dst[edge_dst] + (eattr * att_edge).sum(-1)
-            )
-            self_logits = lrelu(a_src + a_dst + (eself * att_edge).sum(-1))
         else:
             att = self.param("att", glorot, (1, h, f))
+
+        if dense is not None:
+            # Fully-dense per-molecule attention (round 4): node features,
+            # edge features, softmax, and aggregation all live in
+            # [G, A]/[G, Me] layouts — zero gathers or scatters anywhere in
+            # the layer (XLA TPU scatters are near-serial; both the flat
+            # segment path and a per-layer slot-gather variant were
+            # measured slower — PERF.md). Computation is HEAD-MAJOR:
+            # [·, heads, f] tensors tile as T(4,128) (2.5× physical HBM
+            # waste); per-head [·, f] slices stay T(8,128), and v1's edge
+            # projection collapses to one vector dot per head.
+            x_d, eattr_d, oh_src, oh_dst, slot_mask = dense
+            g_, me_, a_ = oh_src.shape
+            smf = slot_mask.astype(x_d.dtype)
+            emask = (jnp.sum(oh_src, axis=-1) > 0).astype(x_d.dtype)  # [G, Me]
+            if not self.v2:
+                xs2d = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                                   name="lin")(x_d)
+                xd2d = xs2d
+            else:
+                xs2d = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                                   name="lin_l")(x_d)
+                xd2d = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                                   name="lin_r")(x_d)
+            cnt_in = jnp.maximum(jnp.einsum("gma->ga", oh_dst), 1.0)
+            mean_in_d = (
+                jnp.einsum("gma,gmd->gad", oh_dst, eattr_d) / cnt_in[..., None]
+            )
+            neg = jnp.finfo(x_d.dtype).min
+            out_acc = 0.0
+            for hh in range(h):
+                sl = slice(hh * f, (hh + 1) * f)
+                xs_h, xd_h = xs2d[..., sl], xd2d[..., sl]
+                if not self.v2:
+                    a_src_h = xs_h @ att_src[0, hh]  # [G, A]
+                    a_dst_h = xd_h @ att_dst[0, hh]
+                    ev_h = e_w[:, sl] @ att_edge[0, hh]  # [d_edge]
+                    logits_dh = lrelu(
+                        jnp.einsum("gma,ga->gm", oh_src, a_src_h)
+                        + jnp.einsum("gma,ga->gm", oh_dst, a_dst_h)
+                        + eattr_d @ ev_h
+                    )
+                    self_dh = lrelu(a_src_h + a_dst_h + mean_in_d @ ev_h)
+                else:
+                    e_h = eattr_d @ e_w[:, sl]  # [G, Me, f]
+                    z = lrelu(
+                        jnp.einsum("gma,gaf->gmf", oh_src, xs_h)
+                        + jnp.einsum("gma,gaf->gmf", oh_dst, xd_h)
+                        + e_h
+                    )
+                    logits_dh = z @ att[0, hh]
+                    zs = lrelu(xs_h + xd_h + mean_in_d @ e_w[:, sl])
+                    self_dh = zs @ att[0, hh]
+                masked = jnp.where(oh_dst > 0, logits_dh[:, :, None], neg)
+                m = jnp.maximum(jnp.max(masked, axis=1), self_dh)  # [G, A]
+                m_at_e = jnp.einsum("gma,ga->gm", oh_dst, m)
+                ex = jnp.exp(logits_dh - m_at_e) * emask  # [G, Me]
+                ex_self = jnp.exp(self_dh - m) * smf  # [G, A]
+                denom = jnp.einsum("gma,gm->ga", oh_dst, ex) + ex_self
+                attn = jnp.einsum("gmi,gm,gmj->gij", oh_dst, ex, oh_src)
+                raw = jnp.einsum("gij,gjf->gif", attn, xs_h)
+                out_acc = out_acc + (
+                    raw + ex_self[..., None] * xs_h
+                ) / jnp.maximum(denom[..., None], 1e-16)
+            return out_acc / h + bias  # [G, A, f]
+
+        # flat segment path (fallback when the dense tables are absent)
+        n = x.shape[-2]
+        if not self.v2:
+            xs2 = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                              name="lin")(x)  # [n, h*f]
+            xd2 = xs2
+        else:
+            xs2 = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                              name="lin_l")(x)
+            xd2 = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                              name="lin_r")(x)
+        # self-loop edge feature: mean of incoming real edge features per node
+        mean_in = segment_sum(edge_attr, edge_dst, n, mask=edge_mask)
+        cnt_in = segment_count(edge_dst, n, mask=edge_mask)[:, None]
+        mean_in = mean_in / jnp.maximum(cnt_in, 1.0)
+        xs = xs2.reshape(n, h, f)
+        xd = xd2.reshape(n, h, f)
+        eattr = (edge_attr @ e_w).reshape(-1, h, f)
+        eself = (mean_in @ e_w).reshape(n, h, f)
+        if not self.v2:
+            a_src = (xs * att_src).sum(-1)  # [n, h]
+            a_dst = (xd * att_dst).sum(-1)
+            esc = (eattr * att_edge).sum(-1)
+            logits = lrelu(a_src[edge_src] + a_dst[edge_dst] + esc)
+            self_logits = lrelu(a_src + a_dst + (eself * att_edge).sum(-1))
+        else:
             z = lrelu(xs[edge_src] + xd[edge_dst] + eattr)
             logits = (z * att).sum(-1)
             zs = lrelu(xs + xd + eself)
@@ -164,7 +232,6 @@ class _GATBase(nn.Module):
         out = segment_sum(alpha[..., None] * xs[edge_src], edge_dst, n, mask=edge_mask)
         out = out + alpha_self[..., None] * xs
         out = out.mean(axis=1)  # concat=False → head mean
-        bias = self.param("bias", nn.initializers.zeros, (f,))
         return out + bias
 
 
@@ -186,9 +253,38 @@ class GNN2D(nn.Module):
         if num_layer < 2:
             raise ValueError("Number of GNN layers must be greater than 1.")
 
-        x = AtomEncoder(emb_dim, name="atom_encoder")(batch.atom_feat)
-        edge_attr = BondEncoder(emb_dim, name="bond_encoder")(batch.edge_feat)
         drop = nn.Dropout(cfg.dropout)
+        use_dense = (
+            self.gnn_type in ("gat", "gatv2")
+            and batch.slot_index is not None
+            and batch.eslot_src is not None
+        )
+        if use_dense:
+            # Whole-network dense [G, A, ·] pipeline for the attention
+            # baselines: atoms/edges are encoded directly in the dense
+            # layout (int gathers only — no differentiable gather/scatter
+            # anywhere between encoder and head; see _GATBase).
+            smf = batch.slot_mask[..., None].astype(jnp.float32)
+            x = AtomEncoder(emb_dim, name="atom_encoder")(
+                batch.atom_feat[batch.slot_index]
+            ) * smf
+            eattr_d = BondEncoder(emb_dim, name="bond_encoder")(
+                batch.edge_feat[batch.eslot_edge]
+            ) * batch.eslot_mask[..., None].astype(jnp.float32)
+            a_ = batch.slot_mask.shape[1]
+            oh_src = (
+                (batch.eslot_src[..., None] == jnp.arange(a_))
+                & batch.eslot_mask[..., None]
+            ).astype(jnp.float32)
+            oh_dst = (
+                (batch.eslot_dst[..., None] == jnp.arange(a_))
+                & batch.eslot_mask[..., None]
+            ).astype(jnp.float32)
+            bn_mask = batch.slot_mask
+        else:
+            x = AtomEncoder(emb_dim, name="atom_encoder")(batch.atom_feat)
+            edge_attr = BondEncoder(emb_dim, name="bond_encoder")(batch.edge_feat)
+            bn_mask = batch.atom_mask
 
         h_list = [x]
         for layer in range(num_layer):
@@ -202,17 +298,25 @@ class GNN2D(nn.Module):
                 conv = _GATBase(emb_dim, heads=4, v2=True, name=f"convs_{layer}")
             else:
                 raise ValueError(f"Undefined GNN type called {self.gnn_type}")
-            h = conv(
-                h_list[layer],
-                batch.edge_src,
-                batch.edge_dst,
-                edge_attr,
-                batch.edge_mask,
-                batch.atom_mask,
-                deterministic,
-            )
+            if use_dense:
+                h = conv(
+                    h_list[layer],
+                    dense=(h_list[layer], eattr_d, oh_src, oh_dst,
+                           batch.slot_mask),
+                    deterministic=deterministic,
+                )
+            else:
+                h = conv(
+                    h_list[layer],
+                    batch.edge_src,
+                    batch.edge_dst,
+                    edge_attr,
+                    batch.edge_mask,
+                    batch.atom_mask,
+                    deterministic,
+                )
             h = MaskedBatchNorm(axis_name=cfg.axis_name, name=f"batch_norms_{layer}")(
-                h, mask=batch.atom_mask, use_running_average=deterministic
+                h, mask=bn_mask, use_running_average=deterministic
             )
             if layer == num_layer - 1:
                 h = drop(h, deterministic=deterministic)
@@ -230,7 +334,23 @@ class GNN2D(nn.Module):
             raise ValueError(f"Unknown JK mode {cfg.gnn_jk}")
 
         pooling = cfg.gnn_graph_pooling
-        if pooling in ("sum", "mean", "max"):
+        if use_dense:
+            # dense masked pooling over the A axis (scatter-free); the [G]
+            # row order IS the graph order (one row per molecule)
+            smv = batch.slot_mask[..., None].astype(h_node.dtype)
+            if pooling == "sum":
+                hg = jnp.sum(h_node * smv, axis=1)
+            elif pooling == "mean":
+                cnt = jnp.maximum(jnp.sum(smv, axis=1), 1.0)
+                hg = jnp.sum(h_node * smv, axis=1) / cnt
+            elif pooling == "max":
+                neg = jnp.finfo(h_node.dtype).min
+                hg = jnp.max(jnp.where(smv > 0, h_node, neg), axis=1)
+            else:
+                # attention/set2set pooling: fall back to the flat layout
+                h_node = h_node[batch.atom_graph_id, batch.atom_slot]
+                use_dense = False
+        if not use_dense and pooling in ("sum", "mean", "max"):
             hg = global_pool(
                 h_node,
                 batch.atom_graph_id,
@@ -238,7 +358,7 @@ class GNN2D(nn.Module):
                 mask=batch.atom_mask,
                 reduce=pooling,
             )
-        elif pooling == "attention":
+        if not use_dense and pooling == "attention":
             gate = TorchLinear(2 * emb_dim, name="pool_gate_lin0")(h_node)
             gate = MaskedBatchNorm(axis_name=cfg.axis_name, name="pool_gate_bn")(
                 gate, mask=batch.atom_mask, use_running_average=deterministic
@@ -252,11 +372,11 @@ class GNN2D(nn.Module):
             hg = segment_sum(
                 w * h_node, batch.atom_graph_id, batch.num_graphs, mask=batch.atom_mask
             )
-        elif pooling == "set2set":
+        if not use_dense and pooling == "set2set":
             hg = Set2Set(emb_dim, processing_steps=2, name="pool_set2set")(
                 h_node, batch.atom_graph_id, batch.num_graphs, mask=batch.atom_mask
             )
-        else:
+        if pooling not in ("sum", "mean", "max", "attention", "set2set"):
             raise ValueError(f"Invalid graph pooling type {pooling!r}")
 
         out = TorchLinear(self.num_target, name="graph_pred_linear")(hg)

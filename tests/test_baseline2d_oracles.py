@@ -32,14 +32,14 @@ def _gat_oracle(params, x, src, dst, eattr, v2, heads, f):
     else:
         xs = (x @ p["lin"]).reshape(n, heads, f)
         xd = xs
-    ea = (eattr @ p["lin_edge"]).reshape(-1, heads, f)
+    ea = (eattr @ p["lin_edge_kernel"]).reshape(-1, heads, f)
     # self-loop edge feature = mean of incoming real edge features
     eself = np.zeros((n, eattr.shape[1]))
     for i in range(n):
         inc = eattr[dst == i]
         if len(inc):
             eself[i] = inc.mean(0)
-    eself = (eself @ p["lin_edge"]).reshape(n, heads, f)
+    eself = (eself @ p["lin_edge_kernel"]).reshape(n, heads, f)
 
     if v2:
         att = np.asarray(params["att"], np.float64)[0]
@@ -200,3 +200,36 @@ def test_pooling_variants_padding_invariant(rng):
             )
             np.testing.assert_allclose(out_full[i], out_solo[0],
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_gat_dense_matches_flat():
+    """The dense per-molecule GAT aggregation must equal the flat segment
+    path exactly (same batch, tables stripped)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.data.batching import BatchSpec, pad_graph_batch
+    from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+    from equihgnn_tpu.models.config import ModelConfig
+
+    samples = make_synthetic_dataset(6, seed=11, hyper=False)
+    spec = BatchSpec(num_graphs=8, num_atoms=256, num_hedges=512, nnz=512,
+                     max_atoms_per_graph=32, num_hedge_slots=80)
+    b_dense = jax.tree.map(jnp.asarray, pad_graph_batch(samples, spec, target=0))
+    assert b_dense.eslot_src is not None
+    b_flat = _dc.replace(
+        b_dense, slot_index=None, slot_mask=None, atom_slot=None,
+        eslot_src=None, eslot_dst=None, eslot_edge=None, eslot_mask=None,
+    )
+    for gnn_type in ("gat", "gatv2"):
+        cfg = ModelConfig(gnn_num_layer=2, gnn_emb_dim=32)
+        model = create_model(gnn_type, num_target=1, cfg=cfg, gnn_type=gnn_type)
+        variables = model.init(jax.random.PRNGKey(0), b_dense, deterministic=True)
+        o1 = model.apply(variables, b_dense, deterministic=True)
+        o2 = model.apply(variables, b_flat, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(o1)[:6], np.asarray(o2)[:6], rtol=2e-5, atol=2e-6
+        )
