@@ -1,16 +1,17 @@
 import jax.numpy as jnp
 import numpy as np
 
-from equihgnn_tpu.ops.segment import (
 import pytest
 
-pytestmark = pytest.mark.quick
+from equihgnn_tpu.ops.segment import (
     masked_segment_reduce,
     segment_max,
     segment_mean,
     segment_softmax,
     segment_sum,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def _numpy_scatter(data, ids, num_segments, reduce, mask=None):

@@ -7,12 +7,12 @@ from scipy.stats import ortho_group
 
 from equihgnn_tpu.ops.sh import spherical_harmonics
 from equihgnn_tpu.ops.so3 import (
-
-pytestmark = pytest.mark.quick
     real_clebsch_gordan,
     spherical_harmonics_np,
     wigner_d_rotation,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def _rot(seed):
