@@ -110,19 +110,52 @@ class NormSE3(nn.Module):
         return out
 
 
-class RadialTrunkSE3(nn.Module):
-    """Radial hidden (`se3_transformer_layer.py:311-336` minus the final
-    projection, which the conv applies in factorized form — see below)."""
+class StackedRadialTrunk(nn.Module):
+    """``n`` independently-parameterized radial hiddens
+    (`se3_transformer_layer.py:311-336` minus the final projection, which the
+    conv applies in factorized form — see below) evaluated as ONE batched op.
 
+    A ConvSE3 has one radial function per (degree_in, degree_out, stack) unit,
+    all reading the same [G, A, k, 1] distances. Running them as separate
+    Linear/LayerNorm/GELU chains inside each rematted pair put ~184 tiny
+    [G, A, k]-shaped fusions on the step's critical path (device trace,
+    PERF.md); batching the unit axis into the einsums turns that into 4 ops
+    per ConvSE3, outside the remat so backward does not replay them."""
+
+    n: int
     mid_dim: int = 128
 
     @nn.compact
-    def __call__(self, rel_dist):
-        h = TorchLinear(self.mid_dim, name="lin0")(rel_dist)
-        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, name="ln0")(h))
-        h = TorchLinear(self.mid_dim, name="lin1")(h)
-        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, name="ln1")(h))
-        return h
+    def __call__(self, rel_dist):  # [G, A, k, 1] -> [n, G, A, k, f]
+        f = self.mid_dim
+
+        def u(bound):
+            return lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound)
+
+        # lin0 is 1 -> f, so the matmul degenerates to scale-and-shift
+        w0 = self.param("lin0_w", u(1.0), (self.n, f))
+        b0 = self.param("lin0_b", u(1.0), (self.n, f))
+        w1 = self.param("lin1_w", u(1.0 / sqrt(f)), (self.n, f, f))
+        b1 = self.param("lin1_b", u(1.0 / sqrt(f)), (self.n, f))
+        dt = rel_dist.dtype
+        h = rel_dist * w0[:, None, None, None, :].astype(dt) + b0[
+            :, None, None, None, :
+        ].astype(dt)
+        h = nn.gelu(self._ln(h, "ln0"))
+        h = jnp.einsum("ngakf,nfe->ngake", h, w1.astype(dt)) + b1[
+            :, None, None, None, :
+        ].astype(dt)
+        return nn.gelu(self._ln(h, "ln1"))
+
+    def _ln(self, h, name):
+        scale = self.param(f"{name}_scale", nn.initializers.ones, (self.n, self.mid_dim))
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, (self.n, self.mid_dim))
+        h32 = h.astype(jnp.float32)
+        mu = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h32 - mu), axis=-1, keepdims=True)
+        out = (h32 - mu) * jax.lax.rsqrt(var + 1e-5)
+        brod = (slice(None),) + (None,) * (h.ndim - 2) + (slice(None),)
+        return (out * scale[brod] + bias[brod]).astype(h.dtype)
 
 
 def _radial_proj_params(mdl, name, f, nc_out, nc_in, num_freq):
@@ -140,7 +173,10 @@ def _radial_proj_params(mdl, name, f, nc_out, nc_in, num_freq):
 
 class _ConvSE3Pair(nn.Module):
     """One (degree_in → degree_out) TFN unit; rematted by ConvSE3 so the
-    radial hiddens and all edge-side temps are recomputed in backward."""
+    edge-side temps are recomputed in backward. The radial hidden ``h``
+    [S, G, A, k, f], neighbor one-hot and CG-weighted SH ``w_sh``
+    [G, A, k, J, b, c] arrive precomputed from the trunk/conv level (shared
+    across pairs and never replayed by this module's remat)."""
 
     din: int
     dout: int
@@ -151,23 +187,14 @@ class _ConvSE3Pair(nn.Module):
     radial_mid_dim: int = 128
 
     @nn.compact
-    def __call__(self, xn, nbr_idx, nbr_mask, rel_dist, sh):
+    def __call__(self, xn, onehot, nbr_mask, w_sh, h):
         din, dout, s, f = self.din, self.dout, self.stack, self.radial_mid_dim
-        g, a, k = nbr_idx.shape
         inc = nbr_mask[..., None, None]
         js = list(range(abs(din - dout), din + dout + 1))
         b_in = 2 * din + 1
         c_out = 2 * dout + 1
         sfx = [("_%d" % si) if s > 1 else "" for si in range(s)]
 
-        h = jnp.stack(
-            [
-                RadialTrunkSE3(f, name=f"radial{sfx[si]}")(rel_dist)
-                for si in range(s)
-            ],
-            axis=0,
-        )  # [S, G, A, k, f]
-        h = jnp.where(nbr_mask[None, ..., None], h, 0.0)
         Wb = [
             _radial_proj_params(
                 self, f"radial{sfx[si]}_out", f, self.nc_out, self.nc_in,
@@ -178,17 +205,6 @@ class _ConvSE3Pair(nn.Module):
         dt = xn.dtype
         W = jnp.stack([w for w, _ in Wb]).astype(dt)  # [S, f, o, i, J]
         bias = jnp.stack([bb for _, bb in Wb]).astype(dt)  # [S, o, i, J]
-        Qs = [jnp.asarray(_cg(din, J, dout), dtype=dt) for J in js]
-
-        # Neighbor one-hot [G, A, k, A]: every neighbor gather below is a
-        # one-hot MXU matmul, NEVER an indexed gather — the backward of a
-        # gather is an XLA scatter-add, which a device trace showed costing
-        # 102 ms per occurrence (~1.2 s/step total) vs <1 ms for the
-        # transposed matmul the one-hot form gets for free.
-        onehot = (
-            (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
-            & nbr_mask[..., None]
-        ).astype(dt)
 
         if self.pool:
             # Exact: mean_k[(W·h_k + b)·t_k] = (W·Σ_k h_k⊗t_k + b·Σ_k t_k)/cnt
@@ -197,8 +213,8 @@ class _ConvSE3Pair(nn.Module):
             xg = jnp.einsum("gakj,gjeb->gakeb", onehot, xn)
 
             @jax.checkpoint
-            def one_j(Wj, bj, Q, shj, h, xg):
-                tc = jnp.einsum("bmc,gakib,gakm->gakic", Q, xg, shj)
+            def one_j(Wj, bj, wshj, h, xg):
+                tc = jnp.einsum("gakbc,gakib->gakic", wshj, xg)
                 tsum = jnp.sum(tc, axis=2)  # [G, A, i, c]
                 per_c = []
                 for c in range(c_out):
@@ -210,9 +226,9 @@ class _ConvSE3Pair(nn.Module):
                 return jnp.stack(per_c, axis=-1)
 
             res = 0.0
-            for jidx, J in enumerate(js):
+            for jidx in range(len(js)):
                 res = res + one_j(
-                    W[..., jidx], bias[..., jidx], Qs[jidx], sh[J], h, xg
+                    W[..., jidx], bias[..., jidx], w_sh[..., jidx, :, :], h, xg
                 )
             cnt = jnp.maximum(
                 jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
@@ -222,50 +238,44 @@ class _ConvSE3Pair(nn.Module):
         # Unpooled (per-edge outputs for attention keys/values):
         #   v_e = (W·h_e + b)·x_{j(e)}, then CG×SH per output column.
         # Node-side u = W·x (16× fewer sites than edges), mixed with h via a
-        # dense one-hot neighbor matmul. One batched einsum over J; host loop
-        # over (input-m, stack) with an inner checkpoint per step so only one
-        # ~2.4 GB u temp is ever live.
+        # dense one-hot neighbor matmul. The (J, o) output axes are merged
+        # into one p axis so u and v are plain rank-5 batched matmuls — the
+        # earlier separate-J/o form made XLA materialize a layout copy of
+        # every u ([G,A,J,f,o], 4.4 ms each, 52 ms/step on a device trace).
+        # Host loop over input-m with an inner checkpoint per step so only
+        # one u temp is ever live.
         hd = jnp.einsum("gikj,sgikf->sgijf", onehot, h)
-        # CG-weighted SH, all J at once: [G, A, k, J, b, c]
-        w_sh = jnp.stack(
-            [
-                jnp.einsum("bmc,gakm->gakbc", Qs[jidx], sh[J])
-                for jidx, J in enumerate(js)
-            ],
-            axis=3,
-        )
+        # [S, f, o, i, J] -> [S, f, J·o, i] (J outer, o inner)
+        Wp = jnp.moveaxis(W, -1, 2).reshape(s, f, len(js) * self.nc_out, self.nc_in)
+        bp = jnp.moveaxis(bias, -1, 1).reshape(s, len(js) * self.nc_out, self.nc_in)
 
         @jax.checkpoint
-        def one_sb(Wj, bj, hds, xnb, wshb, onehot):
-            # Wj [S,J,f,o,i]; hds [S,G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
-            # u's axis order (f before J,o) matches the consumer dot's layout
-            # — the earlier "gjJfo" form cost a 4.4 ms transpose copy per
-            # (stack, input-m) step (52 ms/step on a device trace)
-            u = jnp.einsum("sJfoi,gji->sgjfJo", Wj, xnb)
-            v = jnp.einsum("sgijf,sgjfJo->sgiJjo", hds, u)
-            vk = jnp.einsum("gakj,sgaJjo->sgaJko", onehot, v)
-            ub = jnp.einsum("soiJ,gji->sgjJo", bj, xnb)
-            ubk = jnp.einsum("gakj,sgjJo->sgaJko", onehot, ub)
-            return jnp.einsum("sgaJko,gakJc->sgakoc", vk + ubk, wshb)
+        def one_b(Wp, bp, hds, xnb, wshb, onehot):
+            # Wp [S,f,p,i]; hds [S,G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
+            u = jnp.einsum("sfpi,gji->sgjpf", Wp, xnb)
+            v = jnp.einsum("sgajf,sgjpf->sgjap", hds, u)
+            vk = jnp.einsum("gakj,sgjap->sgakp", onehot, v)
+            ub = jnp.einsum("spi,gji->sgjp", bp, xnb)
+            ubk = jnp.einsum("gakj,sgjp->sgakp", onehot, ub)
+            ek = (vk + ubk).reshape(vk.shape[:4] + (len(js), self.nc_out))
+            return jnp.einsum("sgakJo,gakJc->sgakoc", ek, wshb)
 
-        Wj = jnp.moveaxis(W, -1, 1)  # [S, J, f, o, i]
-        # Batch the stack axis into the einsums when the u temp stays small
-        # (S·J ≤ 2 → u ≤ ~1.6 GB per input-m step); the (1,1) pair (J=3)
-        # would need a ~14 GB backward working set batched, so it keeps the
-        # per-stack loop.
+        # Batch the stack axis into the einsums when the u temp stays small;
+        # the (1,1) pair (p = 3·o) keeps the per-stack loop to halve the
+        # backward working set (16 GB HBM on v5e).
         if s * len(js) <= 2:
             res_s = 0.0
             for bi in range(b_in):
-                res_s = res_s + one_sb(
-                    Wj, bias, hd, xn[..., bi], w_sh[..., bi, :], onehot
+                res_s = res_s + one_b(
+                    Wp, bp, hd, xn[..., bi], w_sh[..., bi, :], onehot
                 )
         else:
             parts = []
             for si in range(s):
                 acc = 0.0
                 for bi in range(b_in):
-                    acc = acc + one_sb(
-                        Wj[si : si + 1], bias[si : si + 1], hd[si : si + 1],
+                    acc = acc + one_b(
+                        Wp[si : si + 1], bp[si : si + 1], hd[si : si + 1],
                         xn[..., bi], w_sh[..., bi, :], onehot,
                     )
                 parts.append(acc)
@@ -302,13 +312,25 @@ class ConvSE3(nn.Module):
     def __call__(
         self,
         inp: dict,  # {degree: [G, A, dim, 2d+1]}
-        nbr_idx,
+        onehot,  # [G, A, k, A] masked neighbor one-hot (trunk-level)
         nbr_mask,
         rel_dist,  # [G, A, k, 1]
-        sh,  # list of [G, A, k, 2J+1]
+        wsh_map,  # {(din, dout): [G, A, k, J, b, c]} CG-weighted SH
     ):
         s = self.stack
-        pair_cls = nn.remat(_ConvSE3Pair)
+        pair_cls = _ConvSE3Pair
+        pairs = [
+            (din, dout)
+            for dout in range(len(self.fiber_out))
+            for din in range(len(self.fiber_in))
+        ]
+        # all radial functions of this conv in one batched trunk, OUTSIDE the
+        # per-pair remat (see StackedRadialTrunk)
+        h_all = StackedRadialTrunk(
+            n=len(pairs) * s, mid_dim=self.radial_mid_dim, name="radial_trunks"
+        )(rel_dist)
+        h_all = jnp.where(nbr_mask[None, ..., None], h_all, 0.0)
+        h_all = h_all.reshape((len(pairs), s) + h_all.shape[1:])
 
         outputs = [{} for _ in range(s)]
         for dout, nc_out in enumerate(self.fiber_out):
@@ -319,7 +341,10 @@ class ConvSE3(nn.Module):
                     pool=self.pool, stack=s,
                     radial_mid_dim=self.radial_mid_dim,
                     name=f"pair_{din}_{dout}",
-                )(inp[din], nbr_idx, nbr_mask, rel_dist, sh)
+                )(
+                    inp[din], onehot, nbr_mask, wsh_map[(din, dout)],
+                    h_all[pairs.index((din, dout))],
+                )
                 acc = term if acc is None else acc + term
             for si in range(s):
                 outputs[si][dout] = acc[si]
@@ -365,17 +390,19 @@ class AttentionSE3(nn.Module):
     attend_self: bool = True
 
     @nn.compact
-    def __call__(self, features: dict, nbr_idx, nbr_mask, rel_dist, sh) -> dict:
+    def __call__(
+        self, features: dict, onehot, nbr_mask, rel_dist, wsh_map
+    ) -> dict:
         h, dh = self.heads, self.dim_head
         hidden = dh * h
         hidden_fiber = (hidden,) * len(self.fiber)
         scale = dh**-0.5
 
         queries = LinearSE3(self.fiber, hidden_fiber, name="to_q")(features)
-        keys, values = ConvSE3(
+        keys, values = nn.remat(ConvSE3)(
             self.fiber, hidden_fiber, pool=False, self_interaction=False,
             stack=2, name="to_kv",
-        )(features, nbr_idx, nbr_mask, rel_dist, sh)
+        )(features, onehot, nbr_mask, rel_dist, wsh_map)
 
         if self.attend_self:
             self_k = LinearSE3(self.fiber, hidden_fiber, name="to_self_k")(features)
@@ -468,9 +495,40 @@ class SE3Transformer(nn.Module):
             rel_dist = rel_dist.astype(dt)
             sh = [t.astype(dt) for t in sh]
 
+        # Trunk-level shared edge tensors, computed ONCE (not replayed by the
+        # per-pair remats):
+        #   * masked neighbor one-hot [G, A, k, A] — every neighbor gather is
+        #     a one-hot MXU matmul, NEVER an indexed gather — the backward of
+        #     a gather is an XLA scatter-add, which a device trace showed
+        #     costing 102 ms per occurrence vs <1 ms for the transposed
+        #     matmul the one-hot form gets for free;
+        #   * CG-weighted SH per (din, dout) pair type:
+        #     w_sh[..., J, b, c] = Σ_m CG^{(din,J,dout)}[b,m,c] · Y_J[m].
+        cdt = fd.dtype
+        onehot = (
+            (nbr_idx[..., None] == jnp.arange(a_)[None, None, None, :])
+            & nbr_mask[..., None]
+        ).astype(cdt)
+        nd = self.num_degrees
+        wsh_map = {}
+        for din in range(nd):
+            for dout in range(nd):
+                js = list(range(abs(din - dout), din + dout + 1))
+                wsh_map[(din, dout)] = jnp.stack(
+                    [
+                        jnp.einsum(
+                            "bmc,gakm->gakbc",
+                            jnp.asarray(_cg(din, J, dout), dtype=cdt),
+                            sh[J],
+                        )
+                        for J in js
+                    ],
+                    axis=3,
+                )  # [G, A, k, J, b, c]
+
         x = {0: fd[..., None]}
-        x = ConvSE3(fiber_in, fiber_hidden, name="conv_in")(
-            x, nbr_idx, nbr_mask, rel_dist, sh
+        x = nn.remat(ConvSE3)(fiber_in, fiber_hidden, name="conv_in")(
+            x, onehot, nbr_mask, rel_dist, wsh_map
         )
 
         for i in range(self.depth):
@@ -482,15 +540,15 @@ class SE3Transformer(nn.Module):
                 heads=self.heads,
                 attend_self=self.attend_self,
                 name=f"attn_{i}",
-            )(out, nbr_idx, nbr_mask, rel_dist, sh)
+            )(out, onehot, nbr_mask, rel_dist, wsh_map)
             x = {d: out[d] + res[d] for d in out}
             res = x
             out = NormSE3(fiber_hidden, name=f"ff_prenorm_{i}")(x)
             out = FeedForwardSE3(fiber_hidden, name=f"ff_{i}")(out)
             x = {d: out[d] + res[d] for d in out}
 
-        x = ConvSE3(fiber_hidden, fiber_out, name="conv_out")(
-            x, nbr_idx, nbr_mask, rel_dist, sh
+        x = nn.remat(ConvSE3)(fiber_hidden, fiber_out, name="conv_out")(
+            x, onehot, nbr_mask, rel_dist, wsh_map
         )
 
         type0 = x[0][..., 0].astype(jnp.float32)  # [G, A, dim]

@@ -15,10 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import resource
 import sys
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rss_mb() -> float:
@@ -38,6 +41,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch_size", type=int, default=768)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--hidden", type=int, default=256)
     args = ap.parse_args()
 
     samples = []
@@ -61,7 +65,7 @@ def main():
         "--batch_size", str(args.batch_size),
         "--buckets", "16",
         "--target", "0",
-        "--All_num_layers", "3", "--MLP_hidden", "256",
+        "--All_num_layers", "3", "--MLP_hidden", str(args.hidden),
         "--output_hidden", "128", "--output_num_layers", "3",
         "--aggregate", "mean", "--lr", "0.0001",
     ]
