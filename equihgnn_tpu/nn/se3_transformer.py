@@ -138,14 +138,18 @@ class StackedRadialTrunk(nn.Module):
         w1 = self.param("lin1_w", u(1.0 / sqrt(f)), (self.n, f, f))
         b1 = self.param("lin1_b", u(1.0 / sqrt(f)), (self.n, f))
         dt = rel_dist.dtype
-        h = rel_dist * w0[:, None, None, None, :].astype(dt) + b0[
-            :, None, None, None, :
-        ].astype(dt)
+        # (A, k) merged: LN stats come out [n, G, A·k] instead of
+        # [n, G, A, k] — a minor dim of 16 tiles to 128 lanes (8× padded
+        # HBM traffic, ~28 ms/step on a device trace at bench shapes)
+        g_, a_, k_ = rel_dist.shape[:3]
+        rd = rel_dist.reshape(g_, a_ * k_, 1)
+        h = rd * w0[:, None, None, :].astype(dt) + b0[:, None, None, :].astype(dt)
         h = nn.gelu(self._ln(h, "ln0"))
-        h = jnp.einsum("ngakf,nfe->ngake", h, w1.astype(dt)) + b1[
-            :, None, None, None, :
+        h = jnp.einsum("ngqf,nfe->ngqe", h, w1.astype(dt)) + b1[
+            :, None, None, :
         ].astype(dt)
-        return nn.gelu(self._ln(h, "ln1"))
+        h = nn.gelu(self._ln(h, "ln1"))
+        return h.reshape(self.n, g_, a_, k_, f)
 
     def _ln(self, h, name):
         scale = self.param(f"{name}_scale", nn.initializers.ones, (self.n, self.mid_dim))
@@ -214,16 +218,18 @@ class _ConvSE3Pair(nn.Module):
 
             @jax.checkpoint
             def one_j(Wj, bj, wshj, h, xg):
-                tc = jnp.einsum("gakbc,gakib->gakic", wshj, xg)
-                tsum = jnp.sum(tc, axis=2)  # [G, A, i, c]
-                per_c = []
-                for c in range(c_out):
-                    M = jnp.einsum("sgakf,gaki->sgaif", h, tc[..., c])
-                    per_c.append(
-                        jnp.einsum("sfoi,sgaif->sgao", Wj, M)
-                        + jnp.einsum("soi,gai->sgao", bj, tsum[..., c])
-                    )
-                return jnp.stack(per_c, axis=-1)
+                # c (≤ 2·dout+1) is batched into the einsums rather than host-
+                # looped: the per-c [G,A,i,f] M temps forced XLA to emit a
+                # 3 ms {i,f}-transpose copy per c per direction (device trace,
+                # ~42 ms/step total); one [G,A,f,c·i] matmul keeps the layout
+                # the consumer dot wants.
+                tc = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
+                tsum = jnp.sum(tc, axis=2)  # [G, A, c, i]
+                M = jnp.einsum("sgakf,gakci->sgafci", h, tc)
+                return (
+                    jnp.einsum("sfoi,sgafci->sgaoc", Wj, M)
+                    + jnp.einsum("soi,gaci->sgaoc", bj, tsum)
+                )
 
             res = 0.0
             for jidx in range(len(js)):
@@ -249,7 +255,6 @@ class _ConvSE3Pair(nn.Module):
         Wp = jnp.moveaxis(W, -1, 2).reshape(s, f, len(js) * self.nc_out, self.nc_in)
         bp = jnp.moveaxis(bias, -1, 1).reshape(s, len(js) * self.nc_out, self.nc_in)
 
-        @jax.checkpoint
         def one_b(Wp, bp, hds, xnb, wshb, onehot):
             # Wp [S,f,p,i]; hds [S,G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
             u = jnp.einsum("sfpi,gji->sgjpf", Wp, xnb)
@@ -261,20 +266,29 @@ class _ConvSE3Pair(nn.Module):
             return jnp.einsum("sgakJo,gakJc->sgakoc", ek, wshb)
 
         # Batch the stack axis into the einsums when the u temp stays small;
-        # the (1,1) pair (p = 3·o) keeps the per-stack loop to halve the
-        # backward working set (16 GB HBM on v5e).
-        if s * len(js) <= 2:
+        # in fp32 the (1,1) pair (p = 3·o) keeps the per-stack loop to halve
+        # the backward working set (16 GB HBM on v5e) — in bf16 the batched
+        # u temp is ~1.5 GB transient inside the checkpoint and fits.
+        # Inner checkpoint policy: the (0,0)/(0,1) pairs' u temps are one
+        # ~0.5 GB tensor (b_in=1) — cheaper to save than to replay; the
+        # multi-b_in / J=3 pairs checkpoint each (stack, input-m) step so
+        # only one u temp is ever live.
+        if s * len(js) <= 2 and b_in == 1:
+            res_s = one_b(Wp, bp, hd, xn[..., 0], w_sh[..., 0, :], onehot)
+        elif s * len(js) <= 2:
+            ckpt_b = jax.checkpoint(one_b)
             res_s = 0.0
             for bi in range(b_in):
-                res_s = res_s + one_b(
+                res_s = res_s + ckpt_b(
                     Wp, bp, hd, xn[..., bi], w_sh[..., bi, :], onehot
                 )
         else:
+            ckpt_b = jax.checkpoint(one_b)
             parts = []
             for si in range(s):
                 acc = 0.0
                 for bi in range(b_in):
-                    acc = acc + one_b(
+                    acc = acc + ckpt_b(
                         Wp[si : si + 1], bp[si : si + 1], hd[si : si + 1],
                         xn[..., bi], w_sh[..., bi, :], onehot,
                     )
@@ -399,7 +413,7 @@ class AttentionSE3(nn.Module):
         scale = dh**-0.5
 
         queries = LinearSE3(self.fiber, hidden_fiber, name="to_q")(features)
-        keys, values = nn.remat(ConvSE3)(
+        keys, values = ConvSE3(
             self.fiber, hidden_fiber, pool=False, self_interaction=False,
             stack=2, name="to_kv",
         )(features, onehot, nbr_mask, rel_dist, wsh_map)
@@ -527,7 +541,7 @@ class SE3Transformer(nn.Module):
                 )  # [G, A, k, J, b, c]
 
         x = {0: fd[..., None]}
-        x = nn.remat(ConvSE3)(fiber_in, fiber_hidden, name="conv_in")(
+        x = ConvSE3(fiber_in, fiber_hidden, name="conv_in")(
             x, onehot, nbr_mask, rel_dist, wsh_map
         )
 
@@ -547,7 +561,7 @@ class SE3Transformer(nn.Module):
             out = FeedForwardSE3(fiber_hidden, name=f"ff_{i}")(out)
             x = {d: out[d] + res[d] for d in out}
 
-        x = nn.remat(ConvSE3)(fiber_hidden, fiber_out, name="conv_out")(
+        x = ConvSE3(fiber_hidden, fiber_out, name="conv_out")(
             x, onehot, nbr_mask, rel_dist, wsh_map
         )
 

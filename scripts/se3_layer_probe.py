@@ -67,7 +67,8 @@ def main():
 
         return jax.jit(inner)
 
-    for depth in (0, 1, 2):
+    import sys as _sys
+    for depth in () if "--mods-only" in _sys.argv else (0, 1, 2):
         e = SE3Transformer(
             dim=HIDDEN, heads=2, depth=depth, dim_head=32, num_degrees=2,
             valid_radius=5.0, num_neighbors=16,
@@ -118,17 +119,45 @@ def main():
     import sys
     if "--depths-only" in sys.argv:
         return
+
+    # trunk-level shared tensors (same derivation as SE3Transformer.__call__)
+    from equihgnn_tpu.nn.se3_transformer import _cg
+
+    cdt = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    xh = {d: t.astype(cdt) for d, t in xh.items()}
+    x0 = {0: fd.astype(cdt)[..., None]}
+    rel_dist = rel_dist.astype(cdt)
+    sh = [t.astype(cdt) for t in sh]
+    onehot = (
+        (nbr_idx[..., None] == jnp.arange(a_)[None, None, None, :])
+        & nbr_mask[..., None]
+    ).astype(cdt)
+    wsh_map = {}
+    for din in range(2):
+        for dout in range(2):
+            js = list(range(abs(din - dout), din + dout + 1))
+            wsh_map[(din, dout)] = jnp.stack(
+                [
+                    jnp.einsum(
+                        "bmc,gakm->gakbc",
+                        jnp.asarray(_cg(din, J, dout), dtype=cdt), sh[J],
+                    )
+                    for J in js
+                ],
+                axis=3,
+            )
+
     bench_mod("conv_in (pooled)",
-              ConvSE3(fib1, fibh), x0, nbr_idx, nbr_mask, rel_dist, sh)
+              ConvSE3(fib1, fibh), x0, onehot, nbr_mask, rel_dist, wsh_map)
     bench_mod("conv_out (pooled)",
-              ConvSE3(fibh, fib1), xh, nbr_idx, nbr_mask, rel_dist, sh)
+              ConvSE3(fibh, fib1), xh, onehot, nbr_mask, rel_dist, wsh_map)
     bench_mod("to_kv (unpooled)",
               ConvSE3(fibh, (64, 64), pool=False, self_interaction=False,
                       stack=2),
-              xh, nbr_idx, nbr_mask, rel_dist, sh)
+              xh, onehot, nbr_mask, rel_dist, wsh_map)
     bench_mod("attention block",
               AttentionSE3(fibh, dim_head=32, heads=2),
-              xh, nbr_idx, nbr_mask, rel_dist, sh)
+              xh, onehot, nbr_mask, rel_dist, wsh_map)
     bench_mod("ffn block", FeedForwardSE3(fibh), xh)
     bench_mod("norm", NormSE3(fibh), xh)
 

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     method = sys.argv[1] if len(sys.argv) > 1 else "se3_transformer_equihnns"
     n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    dtype = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
     import jax.numpy as jnp
@@ -33,6 +34,7 @@ def main():
     cfg = ModelConfig(
         mlp_hidden=bench.HIDDEN, output_hidden=128, all_num_layers=3,
         output_num_layers=3, aggregate="mean", normalization="ln",
+        compute_dtype=dtype,
     )
     model = create_model(method, num_target=1, cfg=cfg)
     variables = jax.jit(
