@@ -129,9 +129,18 @@ def conjugated_groups(mol):
 
     ≡ `he_conj` (`reference equihgnn/data/utils.py:35-54`): RDKit
     ResonanceMolSupplier assigns each atom a conjugated-group id (or -1).
+
+    Molecules that carry their own perception (first-party
+    `equihgnn_tpu.data.chem.Mol`, whose conjugation rules re-derive RDKit's
+    Conjugation.cpp — validated on real structures in
+    tests/test_real_molecules.py) act as their own supplier, so raw-SDF
+    processing works in an RDKit-free image.
     """
-    Chem = _require_rdkit()
-    reso = Chem.ResonanceMolSupplier(mol)
+    if hasattr(mol, "GetAtomConjGrpIdx"):
+        reso = mol
+    else:
+        Chem = _require_rdkit()
+        reso = Chem.ResonanceMolSupplier(mol)
     num_he = reso.GetNumConjGrps()
     n_idx, e_idx = [], []
     for i in range(mol.GetNumAtoms()):

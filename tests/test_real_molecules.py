@@ -1,0 +1,236 @@
+"""REAL molecules through perception + featurization + a dataset process()
+body (round-1 VERDICT "what's missing" #1/#2).
+
+`datasets/real_sample/sample.sdf` holds 20 literature structures
+(scripts/make_real_sample.py). The conjugated-group ground truth below is
+textbook chemistry under RDKit's grouping semantics
+(`reference equihgnn/data/utils.py:35-54`; rdkit Conjugation.cpp rules
+re-derived in `equihgnn_tpu/data/chem.py`):
+
+  * isolated multiple bonds (ethylene, acetylene, acetone's C=O) form NO
+    group — the conjugation mark needs a qualifying bond PAIR;
+  * sp3 centers break systems (toluene's methyl excluded, 1,4-pentadiene
+    split into nothing);
+  * lone-pair heteroatoms extend systems (amide N-C=O, aniline N, phenol O,
+    fluorobenzene F, acetic acid's hydroxyl O);
+  * aromatic-aromatic single bonds bridge (biphenyl is ONE 12-atom system).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from equihgnn_tpu.data.chem import Mol
+from equihgnn_tpu.data.featurize import (
+    atom_to_feature_vector,
+    conjugated_groups,
+    mol_to_hypergraph,
+)
+from equihgnn_tpu.data.sdf import read_sdf, read_titles
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SDF = os.path.join(HERE, "..", "datasets", "real_sample", "sample.sdf")
+
+# name -> (num heavy atoms, [conjugated group sizes])
+GROUND_TRUTH = {
+    "methane": (1, []),
+    "ethane": (2, []),
+    "ethylene": (2, []),
+    "acetylene": (2, []),
+    "benzene": (6, [6]),
+    "toluene": (7, [6]),
+    "styrene": (8, [8]),
+    "biphenyl": (12, [12]),
+    "naphthalene": (10, [10]),
+    "pyridine": (6, [6]),
+    "furan": (5, [5]),
+    "butadiene": (4, [4]),
+    "penta-1,4-diene": (5, []),
+    "formamide": (3, [3]),
+    "acetone": (4, []),
+    "acetic acid": (4, [3]),
+    "acrylonitrile": (4, [4]),
+    "fluorobenzene": (7, [7]),
+    "aniline": (7, [7]),
+    "phenol": (7, [7]),
+}
+
+# name -> total H count over the whole molecule (molecular-formula ground
+# truth: CH4, C2H6, C2H4, C2H2, C6H6, C7H8, C8H8, C12H10, C10H8, C5H5N,
+# C4H4O, C4H6, C5H8, CH3NO, C3H6O, C2H4O2, C3H3N, C6H5F, C6H7N, C6H6O)
+H_COUNTS = {
+    "methane": 4, "ethane": 6, "ethylene": 4, "acetylene": 2, "benzene": 6,
+    "toluene": 8, "styrene": 8, "biphenyl": 10, "naphthalene": 8,
+    "pyridine": 5, "furan": 4, "butadiene": 6, "penta-1,4-diene": 8,
+    "formamide": 3, "acetone": 6, "acetic acid": 4, "acrylonitrile": 3,
+    "fluorobenzene": 5, "aniline": 7, "phenol": 6,
+}
+
+
+@pytest.fixture(scope="module")
+def mols():
+    out = dict(zip(read_titles(SDF), read_sdf(SDF)))
+    assert len(out) == len(GROUND_TRUTH)
+    return out
+
+
+def _group_sizes(m):
+    sizes = {}
+    for g in m.conj_grp:
+        if g >= 0:
+            sizes[g] = sizes.get(g, 0) + 1
+    return sorted(sizes.values())
+
+
+def test_conjugated_groups_ground_truth(mols):
+    for name, (na, sizes) in GROUND_TRUTH.items():
+        m = mols[name]
+        assert m is not None, name
+        assert m.GetNumAtoms() == na, name
+        assert _group_sizes(m) == sorted(sizes), name
+
+
+def test_hydrogen_counts(mols):
+    for name, nh in H_COUNTS.items():
+        m = mols[name]
+        assert sum(a.GetTotalNumHs() for a in m.GetAtoms()) == nh, name
+
+
+def test_hybridization_and_aromaticity(mols):
+    assert [a.GetHybridization() for a in mols["methane"].GetAtoms()] == ["SP3"]
+    assert [a.GetHybridization() for a in mols["ethylene"].GetAtoms()] == ["SP2"] * 2
+    assert [a.GetHybridization() for a in mols["acetylene"].GetAtoms()] == ["SP"] * 2
+    bz = mols["benzene"]
+    assert all(a.GetIsAromatic() and a.IsInRing() for a in bz.GetAtoms())
+    assert all(a.GetHybridization() == "SP2" for a in bz.GetAtoms())
+    tol = mols["toluene"]
+    assert not tol.GetAtoms()[6].GetIsAromatic()
+    assert not tol.GetAtoms()[6].IsInRing()
+    assert all(not a.IsInRing() for a in mols["butadiene"].GetAtoms())
+
+
+def test_bond_conjugation_flags(mols):
+    # biphenyl's inter-ring single bond is conjugated; toluene's methyl
+    # bond is not; acetone's C=O is not (no qualifying pair)
+    bp = mols["biphenyl"]
+    single = [b for b in bp.GetBonds() if b.GetBondType() == "SINGLE"]
+    assert len(single) == 1 and single[0].GetIsConjugated()
+    tol = mols["toluene"]
+    methyl = [b for b in tol.GetBonds() if b.GetBondType() == "SINGLE"]
+    assert len(methyl) == 1 and not methyl[0].GetIsConjugated()
+    ac = mols["acetone"]
+    assert not any(b.GetIsConjugated() for b in ac.GetBonds())
+
+
+def test_he_conj_supplier_ducktype(mols):
+    # featurize.conjugated_groups consumes chem.Mol directly (no RDKit)
+    n_idx, e_idx = conjugated_groups(mols["styrene"])
+    assert len(n_idx) == 8 and set(e_idx) == {0}
+    assert conjugated_groups(mols["acetone"]) == ([], [])
+
+
+def test_mol_to_hypergraph_real(mols):
+    for name, (na, sizes) in GROUND_TRUTH.items():
+        m = mols[name]
+        s = mol_to_hypergraph(m, y=np.zeros(1, np.float32))
+        nb = len(m.bonds)
+        assert s.atom_feat.shape == (na, 9), name
+        n_hedges = int(s.hedge_idx.max()) + 1 if len(s.hedge_idx) else 0
+        assert n_hedges == nb + len(sizes), name
+        # conjugated hyperedges carry the conj type and the right order
+        orders = np.bincount(s.hedge_idx, minlength=n_hedges)
+        assert sorted(orders[nb:].tolist()) == sorted(sizes), name
+        # incidence is stably sorted by hyperedge id (featurize.py contract)
+        assert (np.diff(s.hedge_idx) >= 0).all(), name
+
+
+def test_atom_features_real(mols):
+    # benzene carbon: aromatic SP2 ring CH
+    f = atom_to_feature_vector(mols["benzene"].GetAtoms()[0])
+    assert f[0] == 5  # C
+    assert f[4] == 1  # 1 H
+    assert f[6] == 1  # SP2
+    assert f[7] == 1 and f[8] == 1  # aromatic, in ring
+    # fluorine: halogen with 0 H, SP3 bucket, not aromatic atom itself?
+    # (F bonded to aromatic ring: RDKit marks F non-aromatic)
+    ff = atom_to_feature_vector(mols["fluorobenzene"].GetAtoms()[6])
+    assert ff[0] == 8 and ff[4] == 0 and ff[7] == 0
+
+
+def test_qm9_process_body_on_real_raw(tmp_path, monkeypatch):
+    """The qm9_hg_3d process() body runs on a REAL raw SDF + CSV + skip file
+    (the reference pipeline shape, `reference equihgnn/data/qm9.py:146-230`),
+    with the first-party SDF reader standing in for SDMolSupplier."""
+    import equihgnn_tpu.data.datasets.qm9 as qm9mod
+
+    class _Shim:
+        @staticmethod
+        def SDMolSupplier(path, **kw):
+            return read_sdf(path)
+
+    monkeypatch.setattr(qm9mod, "_require_rdkit", lambda: _Shim)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    import shutil
+
+    shutil.copy(SDF, raw / "gdb9.sdf")
+    n = len(GROUND_TRUTH)
+    import pandas as pd
+
+    cols = {name: np.arange(n, dtype=np.float32) + k
+            for k, name in enumerate(qm9mod.TARGET_NAMES)}
+    pd.DataFrame(cols).to_csv(raw / "gdb9.sdf.csv", index=False)
+    # uncharacterized.txt: 9 header lines, entries, 2 footer lines
+    (raw / "uncharacterized.txt").write_text("\n" * 9 + "\n\n")
+
+    from equihgnn_tpu.common.registry import registry
+
+    ds = registry.get_data_class("qm9_hg_3d")(root=str(tmp_path))
+    assert len(ds.samples) == n
+    names = list(GROUND_TRUTH)
+    for i, s in enumerate(ds.samples):
+        na, sizes = GROUND_TRUTH[names[i]]
+        assert s.atom_feat.shape[0] == na
+        assert s.pos is not None and s.pos.shape == (na, 3)
+        # unit conversion applied to the CSV targets
+        expect = (np.arange(16) + i).astype(np.float32) * qm9mod.CONVERSION
+        np.testing.assert_allclose(s.y, expect, rtol=1e-6)
+    # cache round-trip: second instantiation loads the npz
+    ds2 = registry.get_data_class("qm9_hg_3d")(root=str(tmp_path))
+    np.testing.assert_array_equal(
+        ds2.samples[4].hedge_idx, ds.samples[4].hedge_idx
+    )
+
+
+def test_real_molecules_train_forward(mols):
+    """Real-featurized molecules batch and step a model end to end (CPU)."""
+    import jax
+
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.data.batching import spec_for_samples
+    from equihgnn_tpu.data.packed import PackedSamples, iter_packed_batches
+    from equihgnn_tpu.models.config import ModelConfig
+
+    samples = []
+    for name, m in mols.items():
+        pos = m.GetConformer().GetPositions().astype(np.float32)
+        z = np.asarray([a.GetAtomicNum() for a in m.GetAtoms()], np.int32)
+        s = mol_to_hypergraph(m, y=np.float32([len(name)]), pos=pos, z=z)
+        samples.append(s)
+    spec = spec_for_samples(samples, batch_size=len(samples))
+    packed = PackedSamples.from_samples(samples)
+    batch = next(
+        iter_packed_batches(packed, spec, with_pos=True, pack_slots=True)
+    )
+    batch = jax.tree.map(np.asarray, batch)
+    model = create_model(
+        "egnn_equihnns", num_target=1,
+        cfg=ModelConfig(mlp_hidden=32, output_hidden=16, output_num_layers=2),
+    )
+    var = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    out = model.apply(var, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out)).all()
