@@ -234,11 +234,23 @@ class ViS_MP(nn.Module):
         mk = nbr_mask[..., None].astype(x.dtype)
 
         x_agg = jnp.sum(v_j * mk, axis=2)  # [G, A, h]
-        # vec_agg = Σ_k vec[j(k)]·s1[k] + Σ_k s2[k]·d_ij[k]  (no [G,A,k,L,h])
-        S = jnp.einsum("gikj,gikh->gijh", onehot, s1)  # [G, A, A, h]
-        vec_agg = jnp.einsum("gijh,gjlh->gilh", S, vec) + jnp.einsum(
-            "gikh,gikl->gilh", s2 * mk, d_ij
-        )
+        # vec_agg = Σ_k vec[j(k)]·s1[k] + Σ_k s2[k]·d_ij[k].
+        # Per-l neighbor gathers: the earlier dense form routed this through
+        # S = onehot·s1 [G,A,A,h] then S·vec — (g,h)-batched [A,A]×[A,L]
+        # matmuls with K=8/16 that run the MXU at ≤6% and materialize 0.25 GB
+        # temps (device trace, PERF.md). Each l slice here is one
+        # [A·k, A]×[A, h] matmul per molecule row (K=32, N=256) and only
+        # [G,A,k,h] transients.
+        vec_agg = jnp.stack(
+            [
+                jnp.sum(
+                    s1 * jnp.einsum("gikj,gjh->gikh", onehot, vec[:, :, l]),
+                    axis=2,
+                )
+                for l in range(vec.shape[2])
+            ],
+            axis=2,
+        ) + jnp.einsum("gikh,gikl->gilh", s2 * mk, d_ij)
 
         o123 = _Proj(3 * h, name="o_proj")(x_agg)
         o1, o2, o3 = jnp.split(o123, 3, axis=-1)
@@ -253,11 +265,17 @@ class ViS_MP(nn.Module):
         # u·v − (u·d)(v·d)(2−|d|²); u at target i, v at source j.
         u = _Proj(h, use_bias=False, name="w_trg_proj")(vec)  # [G, A, L, h]
         vv = _Proj(h, use_bias=False, name="w_src_proj")(vec)
-        P = jnp.einsum("gilh,gjlh->gijh", u, vv)  # [G, A, A, h]
-        uv = jnp.einsum("gijh,gikj->gikh", P, onehot)
+        # Per-l gathers of the source projection feed BOTH the u·v term and
+        # the (v·d) projection — replaces the dense P = u·vvᵀ [G,A,A,h]
+        # (tiny-K batched matmuls) and the od [G,A,k,A,L] outer-product
+        # monster (~4 GB bf16 if materialized) of the earlier formulation.
+        uv = 0.0
+        vd = 0.0
+        for l in range(vec.shape[2]):
+            vvk_l = jnp.einsum("gikj,gjh->gikh", onehot, vv[:, :, l])
+            uv = uv + u[:, :, None, l, :] * vvk_l
+            vd = vd + d_ij[..., l][..., None] * vvk_l
         ud = jnp.einsum("gilh,gikl->gikh", u, d_ij)
-        od = jnp.einsum("gikj,gikl->gikjl", onehot, d_ij)  # [G, A, k, A, L]
-        vd = jnp.einsum("gikjl,gjlh->gikh", od, vv)
         dd = jnp.sum(d_ij * d_ij, axis=-1)[..., None]  # [G, A, k, 1]
         w_dot = uv - ud * vd * (2.0 - dd)
         if not self.vertex:
