@@ -123,13 +123,21 @@ def invert_frame(x, mask, f_ops, center):
 
 
 class _MLP(nn.Module):
-    """MLPWrapper with activation in {gelu, silu, relu} (`:209-241`)."""
+    """MLPWrapper with activation in {gelu, silu, relu} (`:209-241`).
+
+    ``mean_axis``: frame-averaged call sites (EdgeModule, FAFFN) take the
+    mean over the 2³ sign-flip frames AFTER this MLP; the mean commutes with
+    the affine fc2 (shared weights, bias averages to itself), so hoisting it
+    between the halves computes the identical function (exactly, in eval or
+    at drop=0) with 8× fewer fc2 FLOPs and 8× less [., 8, ., out] traffic —
+    the dominant FAFormer cost on a device trace."""
 
     hidden: int
     out: int
     activation: str = "gelu"
     use_norm: bool = True
     drop: float = 0.0
+    mean_axis: int | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -140,6 +148,8 @@ class _MLP(nn.Module):
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x).astype(dt)
+        if self.mean_axis is not None:
+            x = jnp.mean(x, axis=self.mean_axis)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -152,6 +162,7 @@ class _SwiGLU(nn.Module):
     out: int
     use_norm: bool = True
     drop: float = 0.0
+    mean_axis: int | None = None  # see _MLP
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -162,15 +173,20 @@ class _SwiGLU(nn.Module):
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x).astype(dt)
+        if self.mean_axis is not None:
+            x = jnp.mean(x, axis=self.mean_axis)
         x = TorchLinear(self.out, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
 
-def _mlp(hidden, out, activation, drop, name):
+def _mlp(hidden, out, activation, drop, name, mean_axis=None):
     if activation == "swiglu":
-        return _SwiGLU(hidden, out, drop=drop, name=name)
-    return _MLP(hidden, out, activation=activation, drop=drop, name=name)
+        return _SwiGLU(hidden, out, drop=drop, name=name, mean_axis=mean_axis)
+    return _MLP(
+        hidden, out, activation=activation, drop=drop, name=name,
+        mean_axis=mean_axis,
+    )
 
 
 class EdgeModule(nn.Module):
@@ -196,9 +212,9 @@ class EdgeModule(nn.Module):
         )
         frame_feats = _mlp(
             self.d_edge_model, self.d_edge_model, self.activation,
-            self.proj_drop, "coord_mlp",
+            self.proj_drop, "coord_mlp", mean_axis=2,
         )(jnp.concatenate([frame_feats, rn], -1), deterministic)
-        frame_feats = jnp.mean(frame_feats, axis=2)  # [G, A, k, d_e]
+        # [G, A, k, d_e]: frame mean hoisted before fc2 (see _MLP)
 
         pair = jnp.concatenate(
             [
@@ -230,9 +246,10 @@ class FAFFN(nn.Module):
             geo, slot_mask, slot_gid, num_graphs
         )  # [G, 8, A, 3]
         h = _mlp(
-            self.d_model, self.d_model, self.activation, self.proj_drop, "W_frame"
+            self.d_model, self.d_model, self.activation, self.proj_drop,
+            "W_frame", mean_axis=-3,
         )(frames, deterministic)
-        h = jnp.mean(h, axis=-3)  # [G, A, d]
+        # [G, A, d]: frame mean hoisted before fc2 (see _MLP)
         out = _mlp(
             int(self.d_model * self.mlp_ratio), self.d_model, self.activation,
             self.proj_drop, "ffn",
