@@ -177,6 +177,13 @@ def _fwd_impl(ui, ujn, dist, nbr_idx, wd, b0, w1, b1):
         ],
         out_specs=pl.BlockSpec((1, k, a, m), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, k, a, m), jnp.float32),
+        # surface the kernel's algebraic FLOPs to XLA's cost analysis so
+        # bench MFU accounting sees the fused matmul (2·E·f·m) it replaced
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * a * k * f * m + 8 * g * a * k * f,
+            bytes_accessed=4 * g * a * (2 * f + k * (2 + m)) + 4 * f * m,
+            transcendentals=2 * g * a * k * (f + m),
+        ),
         interpret=jax.default_backend() != "tpu",
     )(
         ui.astype(jnp.float32), ujn.astype(jnp.float32),
@@ -230,6 +237,11 @@ def _vjp_bwd(res, dm):
             jax.ShapeDtypeStruct((f, m), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * g * a * k * f * m) + 16 * g * a * k * f,
+            bytes_accessed=4 * g * a * (4 * f + k * (3 + 2 * m)) + 8 * f * m,
+            transcendentals=2 * g * a * k * (f + m),
+        ),
         interpret=jax.default_backend() != "tpu",
     )(
         ui.astype(jnp.float32), ujn.astype(jnp.float32),
