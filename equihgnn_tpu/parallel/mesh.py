@@ -24,9 +24,11 @@ def maybe_init_distributed() -> bool:
     After it, `jax.devices()` is GLOBAL and the 1-D data mesh below spans
     hosts — gradients psum over ICI within a slice and DCN across slices.
 
-    UNTESTED here: this image exposes a single tunneled chip and no second
-    host; the code path is exercised only up to the env check. Documented in
-    DECISIONS.md.
+    Exercised by `tests/test_multihost.py`: two spawned processes form a
+    real 2-process CPU cluster through this function (coordinator on
+    localhost, 2 virtual devices per process) and run a shard_map DP step
+    with a cross-process grad psum. Real multi-slice TPU hardware is still
+    unavailable in this image (DECISIONS.md).
     """
     import os
 
