@@ -43,14 +43,21 @@ _SIGN_OPS = np.array(
 )
 
 
-def _sign_frames(cov, deg):
-    """cov [..., 3, 3] (stop-gradient), deg [..., 1, 1] bool → F_ops
-    [..., 8, 3, 3] from the 2³ sign flips of the PCA eigenvectors."""
+def _basis_vectors(cov, deg):
+    """cov [..., 3, 3] (stop-gradient), deg [..., 1, 1] bool → eigvec
+    [..., 3, 3] (columns = PCA eigenvectors; identity where degenerate)."""
     cov = jnp.where(deg, jnp.eye(3, dtype=cov.dtype), cov)
     # analytic 3x3 eigensolver: jnp.linalg.eigh's iterative lowering costs
     # ~82 ms per [24k,3,3] batch on the v5e and dominates the FAFormer step
     # (~10 calls); the closed form is pure VPU math (equihgnn_tpu/ops/eigh3.py)
     _, eigvec = eigh3x3(cov)  # [..., 3, 3], columns = eigenvectors
+    return eigvec
+
+
+def _sign_frames(cov, deg):
+    """cov [..., 3, 3] (stop-gradient), deg [..., 1, 1] bool → F_ops
+    [..., 8, 3, 3] from the 2³ sign flips of the PCA eigenvectors."""
+    eigvec = _basis_vectors(cov, deg)
     ops = jnp.asarray(_SIGN_OPS)  # [8, 3]
     # F_ops[..., o, i, j] = ops[o, j] * eigvec[..., i, j]
     return ops[:, None, :] * eigvec[..., None, :, :]  # [..., 8, 3, 3]
@@ -102,6 +109,47 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
     f_ops = jnp.einsum("rpb,boij->rpoij", ohg, f_ops_g)  # per-slot
     h = jnp.einsum("rpoji,rpj->ropi", f_ops, x)  # [R, 8, P, 3]
     return h.astype(dt), f_ops, center
+
+
+def create_frame_basis(coords, mask, slot_gid=None, num_graphs=None):
+    """Unsigned frame projection Vᵀ(coords − center) without the 8-frame
+    expansion: `create_frame`'s h satisfies h[..., o, p, i] = s_o[i]·vbar[p, i],
+    so frame-averaged MLP sites can feed vbar to the fused sign-expanding
+    kernel (`ops/pallas/frame_swiglu.py`) instead of materializing h.
+
+    coords [..., P, 3], mask [..., P] → (vbar [..., P, 3], center).
+    Packed-row mode matches `create_frame`'s (per-molecule statistics via
+    the one-hot [R, P, B] matmul). Same gradient semantics: the eigenbasis
+    is stop-gradient, the centered coordinates are not.
+    """
+    dt = coords.dtype
+    coords = coords.astype(jnp.float32)
+    if slot_gid is None:
+        m = mask[..., None].astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+        center = jnp.sum(coords * m, axis=-2) / cnt
+        x = (coords - center[..., None, :]) * m
+        cov = jax.lax.stop_gradient(jnp.einsum("...pi,...pj->...ij", x, x))
+        deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
+        eigvec = _basis_vectors(cov, deg)
+        vbar = jnp.einsum("...ji,...pj->...pi", eigvec, x)
+        return vbar.astype(dt), center
+
+    ohg = (
+        (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
+        & mask[..., None]
+    ).astype(jnp.float32)  # [R, P, B]
+    raw_cnt = jnp.einsum("rpb->b", ohg)
+    cnt = jnp.maximum(raw_cnt, 1.0)
+    center_g = jnp.einsum("rpb,rpd->bd", ohg, coords) / cnt[:, None]
+    center = jnp.einsum("rpb,bd->rpd", ohg, center_g)
+    x = (coords - center) * mask[..., None].astype(coords.dtype)
+    cov_g = jax.lax.stop_gradient(jnp.einsum("rpb,rpi,rpj->bij", ohg, x, x))
+    deg = (raw_cnt < 0.5)[:, None, None]
+    eigvec_g = _basis_vectors(cov_g, deg)  # [B, 3, 3]
+    eigvec = jnp.einsum("rpb,bji->rpji", ohg, eigvec_g)  # per-slot
+    vbar = jnp.einsum("rpji,rpj->rpi", eigvec, x)
+    return vbar.astype(dt), center
 
 
 def invert_frame(x, mask, f_ops, center):
@@ -180,6 +228,73 @@ class _SwiGLU(nn.Module):
         return x
 
 
+class _FrameSwiGLU(nn.Module):
+    """Frame-averaged `_SwiGLU` evaluated without the 8-frame tensor.
+
+    Input x [..., C]: columns 0..2 are the UNSIGNED frame projection from
+    `create_frame_basis`, columns 3.. are frame-invariant features. The
+    parameter tree (fc1/norm/fc2) is identical to `_SwiGLU`, so golden
+    mappings and checkpoints are unaffected. On TPU (or with dropout
+    inactive) the fc1→swiglu→dropout→LN→frame-mean chain runs in the fused
+    Pallas kernel (`ops/pallas/frame_swiglu.py`); otherwise the frames are
+    materialized with the same sign table and the chain runs in XLA.
+    """
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from equihgnn_tpu.ops.pallas.frame_swiglu import (
+            frame_swiglu_supported,
+            fused_frame_swiglu,
+        )
+
+        dt = x.dtype
+        c = x.shape[-1]
+        hh = self.hidden // 2
+        fc1 = TorchLinear(self.hidden, name="fc1")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        use_rng = (not deterministic) and self.drop > 0.0
+        flat = x.reshape(-1, c)
+        fused_ok = frame_swiglu_supported(flat.shape[0], c, self.hidden) and (
+            not use_rng or jax.default_backend() == "tpu"
+        )
+        if fused_ok:
+            _ = fc1(jnp.zeros((1, c), dt))
+            _ = norm(jnp.zeros((1, hh), dt))
+            p1 = fc1.variables["params"]
+            pn = norm.variables["params"]
+            seed = None
+            if use_rng:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (1,))[0],
+                    jnp.int32,
+                )
+            y = fused_frame_swiglu(
+                flat, p1["kernel"].astype(jnp.float32),
+                p1["bias"].astype(jnp.float32),
+                pn["scale"].astype(jnp.float32),
+                pn["bias"].astype(jnp.float32),
+                drop_rate=self.drop if use_rng else 0.0, seed=seed,
+            )
+            y = y.reshape(x.shape[:-1] + (hh,)).astype(dt)
+        else:
+            sgn = jnp.concatenate(
+                [jnp.asarray(_SIGN_OPS), jnp.ones((8, c - 3), jnp.float32)],
+                axis=-1,
+            ).astype(dt)  # [8, C]
+            h = fc1(x[..., None, :] * sgn)  # [..., 8, H]
+            x1, x2 = jnp.split(h, 2, axis=-1)
+            y = nn.silu(x1) * x2
+            y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+            y = norm(y).astype(dt)
+            y = jnp.mean(y, axis=-2)
+        y = TorchLinear(self.out, name="fc2")(y)
+        return nn.Dropout(self.drop)(y, deterministic=deterministic)
+
+
 def _mlp(hidden, out, activation, drop, name, mean_axis=None):
     if activation == "swiglu":
         return _SwiGLU(hidden, out, drop=drop, name=name, mean_axis=mean_axis)
@@ -206,14 +321,23 @@ class EdgeModule(nn.Module):
         radial_norm = jnp.sum(radial * radial, axis=-1, keepdims=True)
 
         # per-atom local frames over its neighborhood
-        frame_feats, _, _ = create_frame(radial, nbr_mask)  # [G, A, 8, k, 3]
-        rn = jnp.broadcast_to(
-            radial_norm[:, :, None], (g, a, 8, k, 1)
-        )
-        frame_feats = _mlp(
-            self.d_edge_model, self.d_edge_model, self.activation,
-            self.proj_drop, "coord_mlp", mean_axis=2,
-        )(jnp.concatenate([frame_feats, rn], -1), deterministic)
+        if self.activation == "swiglu":
+            # unsigned basis only; the 2³ sign expansion happens inside the
+            # fused kernel (never materialized — see _FrameSwiGLU)
+            vbar, _ = create_frame_basis(radial, nbr_mask)  # [G, A, k, 3]
+            frame_feats = _FrameSwiGLU(
+                self.d_edge_model, self.d_edge_model, drop=self.proj_drop,
+                name="coord_mlp",
+            )(jnp.concatenate([vbar, radial_norm], -1), deterministic)
+        else:
+            frame_feats, _, _ = create_frame(radial, nbr_mask)  # [G,A,8,k,3]
+            rn = jnp.broadcast_to(
+                radial_norm[:, :, None], (g, a, 8, k, 1)
+            )
+            frame_feats = _mlp(
+                self.d_edge_model, self.d_edge_model, self.activation,
+                self.proj_drop, "coord_mlp", mean_axis=2,
+            )(jnp.concatenate([frame_feats, rn], -1), deterministic)
         # [G, A, k, d_e]: frame mean hoisted before fc2 (see _MLP)
 
         pair = jnp.concatenate(
@@ -242,13 +366,20 @@ class FAFFN(nn.Module):
     def __call__(self, token, geo, slot_mask, deterministic=True,
                  slot_gid=None, num_graphs=None):
         token = nn.LayerNorm(epsilon=1e-5, name="ln")(token).astype(token.dtype)
-        frames, _, _ = create_frame(
-            geo, slot_mask, slot_gid, num_graphs
-        )  # [G, 8, A, 3]
-        h = _mlp(
-            self.d_model, self.d_model, self.activation, self.proj_drop,
-            "W_frame", mean_axis=-3,
-        )(frames, deterministic)
+        if self.activation == "swiglu":
+            vbar, _ = create_frame_basis(geo, slot_mask, slot_gid, num_graphs)
+            h = _FrameSwiGLU(
+                self.d_model, self.d_model, drop=self.proj_drop,
+                name="W_frame",
+            )(vbar, deterministic)
+        else:
+            frames, _, _ = create_frame(
+                geo, slot_mask, slot_gid, num_graphs
+            )  # [G, 8, A, 3]
+            h = _mlp(
+                self.d_model, self.d_model, self.activation, self.proj_drop,
+                "W_frame", mean_axis=-3,
+            )(frames, deterministic)
         # [G, A, d]: frame mean hoisted before fc2 (see _MLP)
         out = _mlp(
             int(self.d_model * self.mlp_ratio), self.d_model, self.activation,
