@@ -151,42 +151,50 @@ class _GATBase(nn.Module):
                 jnp.einsum("gma,gmd->gad", oh_dst, eattr_d) / cnt_in[..., None]
             )
             neg = jnp.finfo(x_d.dtype).min
-            out_acc = 0.0
-            for hh in range(h):
-                sl = slice(hh * f, (hh + 1) * f)
-                xs_h, xd_h = xs2d[..., sl], xd2d[..., sl]
-                if not self.v2:
-                    a_src_h = xs_h @ att_src[0, hh]  # [G, A]
-                    a_dst_h = xd_h @ att_dst[0, hh]
-                    ev_h = e_w[:, sl] @ att_edge[0, hh]  # [d_edge]
-                    logits_dh = lrelu(
-                        jnp.einsum("gma,ga->gm", oh_src, a_src_h)
-                        + jnp.einsum("gma,ga->gm", oh_dst, a_dst_h)
-                        + eattr_d @ ev_h
-                    )
-                    self_dh = lrelu(a_src_h + a_dst_h + mean_in_d @ ev_h)
-                else:
-                    e_h = eattr_d @ e_w[:, sl]  # [G, Me, f]
-                    z = lrelu(
-                        jnp.einsum("gma,gaf->gmf", oh_src, xs_h)
-                        + jnp.einsum("gma,gaf->gmf", oh_dst, xd_h)
-                        + e_h
-                    )
-                    logits_dh = z @ att[0, hh]
-                    zs = lrelu(xs_h + xd_h + mean_in_d @ e_w[:, sl])
-                    self_dh = zs @ att[0, hh]
-                masked = jnp.where(oh_dst > 0, logits_dh[:, :, None], neg)
-                m = jnp.maximum(jnp.max(masked, axis=1), self_dh)  # [G, A]
-                m_at_e = jnp.einsum("gma,ga->gm", oh_dst, m)
-                ex = jnp.exp(logits_dh - m_at_e) * emask  # [G, Me]
-                ex_self = jnp.exp(self_dh - m) * smf  # [G, A]
-                denom = jnp.einsum("gma,gm->ga", oh_dst, ex) + ex_self
-                attn = jnp.einsum("gmi,gm,gmj->gij", oh_dst, ex, oh_src)
-                raw = jnp.einsum("gij,gjf->gif", attn, xs_h)
-                out_acc = out_acc + (
-                    raw + ex_self[..., None] * xs_h
-                ) / jnp.maximum(denom[..., None], 1e-16)
-            return out_acc / h + bias  # [G, A, f]
+            # HEAD-BATCHED (round 5): the earlier per-head Python loop issued
+            # 4× small [G,Me,A]-sized einsums; batching the head axis into
+            # each contraction issues the same FLOPs as few large matmuls
+            # (gatv2's per-edge z tensor is one [G,Me,h·f] op instead of four
+            # [G,Me,f] chains — bench_2d.py gatv2 8.7k → see BENCH).
+            xs4 = xs2d.reshape(g_, a_, h, f)
+            xd4 = xd2d.reshape(g_, a_, h, f)
+            if not self.v2:
+                a_src = jnp.einsum("gahf,hf->gah", xs4, att_src[0])
+                a_dst = jnp.einsum("gahf,hf->gah", xd4, att_dst[0])
+                ev = jnp.einsum(
+                    "dhf,hf->dh", e_w.reshape(d_edge, h, f), att_edge[0]
+                )  # [d_edge, h]
+                logits = lrelu(
+                    jnp.einsum("gma,gah->gmh", oh_src, a_src)
+                    + jnp.einsum("gma,gah->gmh", oh_dst, a_dst)
+                    + eattr_d @ ev
+                )  # [G, Me, h]
+                self_l = lrelu(a_src + a_dst + mean_in_d @ ev)  # [G, A, h]
+            else:
+                z = lrelu(
+                    jnp.einsum("gma,gak->gmk", oh_src, xs2d)
+                    + jnp.einsum("gma,gak->gmk", oh_dst, xd2d)
+                    + eattr_d @ e_w
+                ).reshape(g_, me_, h, f)
+                logits = jnp.einsum("gmhf,hf->gmh", z, att[0])
+                zs = lrelu(xs2d + xd2d + mean_in_d @ e_w).reshape(
+                    g_, a_, h, f
+                )
+                self_l = jnp.einsum("gahf,hf->gah", zs, att[0])
+            masked = jnp.where(
+                oh_dst[..., None] > 0, logits[:, :, None, :], neg
+            )  # [G, Me, A, h]
+            m = jnp.maximum(jnp.max(masked, axis=1), self_l)  # [G, A, h]
+            m_at_e = jnp.einsum("gma,gah->gmh", oh_dst, m)
+            ex = jnp.exp(logits - m_at_e) * emask[..., None]  # [G, Me, h]
+            ex_self = jnp.exp(self_l - m) * smf[..., None]  # [G, A, h]
+            denom = jnp.einsum("gma,gmh->gah", oh_dst, ex) + ex_self
+            attn = jnp.einsum("gmi,gmh,gmj->ghij", oh_dst, ex, oh_src)
+            raw = jnp.einsum("ghij,gjhf->gihf", attn, xs4)
+            out = (raw + ex_self[..., None] * xs4) / jnp.maximum(
+                denom[..., None], 1e-16
+            )
+            return jnp.mean(out, axis=2) + bias  # [G, A, f]
 
         # flat segment path (fallback when the dense tables are absent)
         n = x.shape[-2]
