@@ -214,7 +214,13 @@ class _ConvSE3Pair(nn.Module):
             # Exact: mean_k[(W·h_k + b)·t_k] = (W·Σ_k h_k⊗t_k + b·Σ_k t_k)/cnt
             # with t the CG×SH-contracted neighbor feature. Inner checkpoint
             # per J: the [S,G,A,f,i] M temp (~3 GB at fiber 256) lives alone.
+            from equihgnn_tpu.ops.pallas.pooled_m import (
+                pooled_m,
+                pooled_m_supported,
+            )
+
             xg = jnp.einsum("gakj,gjeb->gakeb", onehot, xn)
+            g_, a_, k_ = onehot.shape[:3]
 
             @jax.checkpoint
             def one_j(Wj, bj, wshj, h, xg):
@@ -225,6 +231,18 @@ class _ConvSE3Pair(nn.Module):
                 # the consumer dot wants.
                 tc = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
                 tsum = jnp.sum(tc, axis=2)  # [G, A, c, i]
+                c_, i_ = tc.shape[-2:]
+                if s == 1 and pooled_m_supported(a_, k_, c_ * i_, f):
+                    # K=16 contraction in VMEM (ops/pallas/pooled_m.py):
+                    # XLA's batched-small-matmul lowering of the M einsum ran
+                    # at ~2.9 TF/s; the kernel emits M in the projection's
+                    # (i, f)-minor layout directly.
+                    m2 = pooled_m(h[0], tc.reshape(g_, a_, k_, c_ * i_))
+                    m2 = m2.reshape(g_, a_, c_, i_, f).astype(h.dtype)
+                    return (
+                        jnp.einsum("foi,gacif->gaoc", Wj[0], m2)[None]
+                        + jnp.einsum("soi,gaci->sgaoc", bj, tsum)
+                    )
                 M = jnp.einsum("sgakf,gakci->sgafci", h, tc)
                 return (
                     jnp.einsum("sfoi,sgafci->sgaoc", Wj, M)
