@@ -187,7 +187,7 @@ def pad_hypergraph_batch(
         hedge_graph_id[e0 : e0 + ne] = g
         e_order[e0 : e0 + ne] = s.e_order()
         yv = s.y if target is None else np.asarray(s.y).reshape(-1)[target]
-        y[g] = np.float32(yv)
+        y[g] = np.asarray(yv, dtype=np.float32).reshape(())
         graph_mask[g] = True
         if with_pos:
             if s.pos is None:
@@ -364,7 +364,7 @@ def pad_graph_batch(
         edge_mask[m0 : m0 + nm] = True
         edge_feat[m0 : m0 + nm] = s.edge_feat
         yv = s.y if target is None else np.asarray(s.y).reshape(-1)[target]
-        y[g] = np.float32(yv)
+        y[g] = np.asarray(yv, dtype=np.float32).reshape(())
         graph_mask[g] = True
         if with_pos:
             if s.pos is None:

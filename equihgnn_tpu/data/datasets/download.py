@@ -41,7 +41,7 @@ def extract_zip(path: str, folder: str):
 
 def extract_tar(path: str, folder: str):
     with tarfile.open(path) as t:
-        t.extractall(folder)
+        t.extractall(folder, filter="data")
 
 
 def extract_gz(path: str, out_path: str | None = None):
