@@ -19,6 +19,8 @@ from __future__ import annotations
 import csv
 import json
 import os
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -77,6 +79,54 @@ def _adam_like(weight_decay: float, clip_gnorm: float | None = None):
 def masked_mse(preds, y, graph_mask):
     m = graph_mask.astype(preds.dtype)
     return jnp.sum((preds - y) ** 2 * m), jnp.sum(m)
+
+
+class _Prefetcher:
+    """Bounded background-thread iterator: runs the (numpy padding + H2D
+    transfer) producer ahead of the consumer. JAX transfers are thread-safe;
+    depth 2 is enough to hide host work behind the device step."""
+
+    _END, _ERR = object(), object()
+
+    def __init__(self, it, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(it,), daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self, it):
+        try:
+            for x in it:
+                if not self._put(("ok", x)):
+                    return
+            self._put((self._END, None))
+        except BaseException as e:  # propagate to the consumer
+            self._put((self._ERR, e))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        kind, val = self._q.get()
+        if kind is self._END:
+            raise StopIteration
+        if kind is self._ERR:
+            raise val
+        return val
+
+    def close(self):
+        self._stop.set()
 
 
 class Trainer:
@@ -148,24 +198,39 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, new_stats, loss
 
+        # The carried dropout key is split INSIDE the jitted step: a host-side
+        # jax.random.split per step is an eager op (a tunnel round-trip each
+        # on axon) that serializes the async dispatch queue.
         if self.mesh is None:
-            return jax.jit(partial(step, axis=None))
+
+            def single(params, opt_state, batch_stats, batch, lr, rng):
+                rng, k = jax.random.split(rng)
+                out = step(params, opt_state, batch_stats, batch, lr, k,
+                           axis=None)
+                return out + (rng,)
+
+            return jax.jit(single)
 
         mesh = self.mesh
+        ndev = mesh.devices.size
 
         def sharded(params, opt_state, batch_stats, batches, lr, rng):
             # batches: pytree with leading [ndev]; params/opt replicated
+            rng, k = jax.random.split(rng)
+            keys = jax.random.split(k, ndev)
+
             def body(p, o, bs, b, r):
                 b = jax.tree.map(lambda x: x[0], b)
                 return step(p, o, bs, b, lr, r[0], axis="data")
 
-            return shard_map(
+            out = shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(), P(), P(), P("data"), P("data")),
                 out_specs=P(),
                 check_vma=False,
-            )(params, opt_state, batch_stats, batches, rng)
+            )(params, opt_state, batch_stats, batches, keys)
+            return out + (rng,)
 
         return jax.jit(sharded)
 
@@ -201,47 +266,53 @@ class Trainer:
 
     # ------------------------------------------------------------------ loops
     def _device_batches(self, loader: Iterable, make_empty):
+        """Host batches → device, prefetched on a background thread so the
+        padding + H2D transfer of batch k+1 overlaps the device step of
+        batch k (the jitted step is dispatched asynchronously)."""
         if self.mesh is None:
-            for b in loader:
-                yield jax.tree.map(jnp.asarray, b)
+            src = (jax.tree.map(jnp.asarray, b) for b in loader)
         else:
             ndev = self.mesh.devices.size
-            for g in group_for_devices(iter(loader), ndev, make_empty):
-                yield jax.tree.map(jnp.asarray, g)
+            src = (
+                jax.tree.map(jnp.asarray, g)
+                for g in group_for_devices(iter(loader), ndev, make_empty)
+            )
+        pf = _Prefetcher(src, depth=2)
+        try:
+            yield from pf
+        finally:
+            pf.close()
 
     def train_epoch(self, loader, lr: float, rng, make_empty=None) -> float:
-        losses, count = 0.0, 0
+        # No host-side sync inside the loop: the loss stays a device scalar
+        # (fetched once per epoch) and the dropout key advances inside the
+        # jitted step, so steps pipeline through the async dispatch queue.
+        losses: list = []
+        lr32 = np.float32(lr)
         for batch in self._device_batches(loader, make_empty):
-            rng, k = jax.random.split(rng)
-            keys = (
-                jax.random.split(k, self.mesh.devices.size)
-                if self.mesh is not None
-                else k
+            (self.params, self.opt_state, self.batch_stats, loss, rng
+             ) = self._step_fn(
+                self.params, self.opt_state, self.batch_stats, batch, lr32, rng
             )
-            self.params, self.opt_state, self.batch_stats, loss = self._step_fn(
-                self.params, self.opt_state, self.batch_stats, batch,
-                jnp.float32(lr), keys,
-            )
-            losses += float(loss)
-            count += 1
+            losses.append(loss)
             if self.cfg.debug:
                 break
-        return losses / max(count, 1)
+        return sum(float(l) for l in losses) / max(len(losses), 1)
 
     def eval_epoch(self, loader, make_empty=None) -> EvalAccumulator:
         acc = EvalAccumulator(std=self.std)
+        pending = []
         for batch in self._device_batches(loader, make_empty):
             preds = self._eval_fn(self.params, self.batch_stats, batch)
-            if self.mesh is None:
-                acc.update(preds, batch.y, batch.graph_mask)
-            else:
-                acc.update(
-                    np.asarray(preds).reshape(-1),
-                    np.asarray(batch.y).reshape(-1),
-                    np.asarray(batch.graph_mask).reshape(-1),
-                )
+            pending.append((preds, batch.y, batch.graph_mask))
             if self.cfg.debug:
                 break
+        for preds, y, mask in pending:  # fetch after all dispatches
+            acc.update(
+                np.asarray(preds).reshape(-1),
+                np.asarray(y).reshape(-1),
+                np.asarray(mask).reshape(-1),
+            )
         return acc
 
     def fit(
