@@ -86,3 +86,69 @@ def test_fit_reduces_loss_and_checkpoints(tmp_path):
     m = tr.test(lambda: iter_batches(val, spec))
     assert np.isfinite(m["test_mae_mean"])
     assert os.path.exists(os.path.join(str(tmp_path), "test_results.csv"))
+
+
+def test_prefetcher_basics():
+    """Background prefetcher: order preserved, exceptions propagate, close()
+    unblocks a producer stuck on a full queue."""
+    import time as _time
+
+    from equihgnn_tpu.train.trainer import _Prefetcher
+
+    # order + completion
+    assert list(_Prefetcher(iter(range(7)), depth=2)) == list(range(7))
+
+    # exception propagation mid-stream
+    def boom():
+        yield 1
+        raise RuntimeError("loader failed")
+
+    pf = _Prefetcher(boom(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="loader failed"):
+        next(pf)
+
+    # close() while the producer is blocked on a full queue
+    pf = _Prefetcher(iter(range(100)), depth=1)
+    assert next(pf) == 0
+    pf.close()
+    _time.sleep(0.3)
+    assert not pf._thread.is_alive()
+
+
+def test_fit_reproducible_same_seed(tmp_path):
+    """The carried-key dropout stream is deterministic: two fits with the
+    same seed produce identical loss trajectories (dropout active)."""
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.data.batching import (
+        iter_batches,
+        pad_hypergraph_batch,
+        spec_for_samples,
+    )
+    from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+    from equihgnn_tpu.models.config import ModelConfig
+    from equihgnn_tpu.train.trainer import TrainConfig, Trainer
+
+    samples = make_synthetic_dataset(64, seed=0, with_pos=False)
+    for s in samples:
+        s.y = np.float32((s.n_atoms - 16.0) / 8.0)
+    spec = spec_for_samples(samples, batch_size=32)
+
+    def run():
+        model = create_model(
+            "mhnns", num_target=1,
+            cfg=ModelConfig(mlp_hidden=16, output_hidden=8, dropout=0.3),
+        )
+        cfg = TrainConfig(epochs=3, lr=3e-3, seed=7, num_bootstraps=2)
+        tr = Trainer(model, cfg, pad_hypergraph_batch(samples[:32], spec),
+                     std=1.0)
+        tr.fit(
+            lambda e: iter_batches(samples, spec, shuffle=True,
+                                   rng=np.random.default_rng(e)),
+            lambda: iter_batches(samples[32:], spec),
+        )
+        return [h["train_loss"] for h in tr.history]
+
+    a, b = run(), run()
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    assert a[-1] < a[0]  # and it actually learns with dropout on
