@@ -61,6 +61,14 @@ def build_model(method: str, hidden: int, output_hidden: int):
         from equihgnn.models.equihnn_fa_former import FAFormerEquiHNNS
 
         return FAFormerEquiHNNS(1, args)
+    if method == "visnet_equihnns":
+        from equihgnn.models.equihnn_visnet import VisNetEquiHNNS
+
+        return VisNetEquiHNNS(1, args)
+    if method in ("gin", "gcn"):
+        from equihgnn.models.baseline_2d import GNN_2D
+
+        return GNN_2D(1, gnn_type=method, drop_ratio=0.0)
     raise ValueError(method)
 
 

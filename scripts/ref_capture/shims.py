@@ -156,9 +156,9 @@ def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32,
                  flow="source_to_target"):
     """torch_cluster.radius_graph: all same-batch pairs within radius r,
     edge_index[0]=source/neighbor j, edge_index[1]=target/center i.
-    NOTE: torch_cluster caps per-center neighbors at max_num_neighbors in
-    INDEX order; this shim returns them all — golden captures must use
-    molecules small enough that the cap never binds."""
+    torch_cluster caps per-center neighbors at max_num_neighbors in INDEX
+    order; nonzero() is row-major (j ascending within each center i), so a
+    per-center rank < cap mask reproduces the truncation exactly."""
     n = x.shape[0]
     if batch is None:
         batch = torch.zeros(n, dtype=torch.long)
@@ -168,10 +168,10 @@ def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32,
         ok &= ~torch.eye(n, dtype=torch.bool)
     i_idx, j_idx = ok.nonzero(as_tuple=True)  # i = center row, j = neighbor
     counts = torch.bincount(i_idx, minlength=n)
-    assert int(counts.max()) <= max_num_neighbors + (0 if loop else 1), (
-        "radius_graph shim: max_num_neighbors cap would bind — torch_cluster "
-        "truncates in index order, use smaller molecules for goldens"
-    )
+    offsets = torch.cumsum(counts, 0) - counts
+    rank = torch.arange(i_idx.numel()) - offsets[i_idx]
+    keep = rank < max_num_neighbors
+    i_idx, j_idx = i_idx[keep], j_idx[keep]
     assert flow == "source_to_target"
     return torch.stack([j_idx, i_idx], dim=0)
 

@@ -1,0 +1,146 @@
+"""First thing to run after a TPU outage: numeric sanity of the Pallas
+kernels on the REAL backend (the CPU test suite exercises interpret mode
+only — Mosaic lowering is only validated here).
+
+    python scripts/tpu_kernel_sanity.py
+
+Checks pooled_m and fused_frame_swiglu (fwd + grads, plus in-kernel dropout
+determinism, which has no CPU path at all) against their pure-XLA
+references at bench-like shapes, then the edge-MLP and segment-sum kernels'
+module tests via their own references. Prints one PASS/FAIL line per check.
+
+Axon discipline: one TPU client at a time; never kill mid-work.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOL = 2e-4
+
+
+def check(name, got, want, tol=TOL):
+    err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+    denom = float(np.max(np.abs(np.asarray(want)))) or 1.0
+    ok = err / denom < tol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: rel_err={err / denom:.2e}")
+    return ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    oks = []
+
+    # ---------------------------------------------------------- pooled_m
+    from equihgnn_tpu.ops.pallas.pooled_m import pooled_m
+
+    def pm_ref(h, tc):
+        return jnp.einsum(
+            "gakf,gakx->gaxf", h.astype(jnp.float32), tc.astype(jnp.float32)
+        )
+
+    rng = np.random.default_rng(0)
+    g, a, k, f, x = 4, 194, 16, 128, 9  # bench-like (a not a multiple of 8)
+    h = jnp.asarray(rng.standard_normal((g, a, k, f)), jnp.float32)
+    tc = jnp.asarray(rng.standard_normal((g, a, k, x)), jnp.float32)
+    oks.append(check("pooled_m fwd", jax.jit(pooled_m)(h, tc), pm_ref(h, tc)))
+
+    def loss(fn):
+        return lambda h, tc: jnp.sum(jnp.sin(fn(h, tc)))
+
+    gh, gt = jax.jit(jax.grad(loss(pooled_m), argnums=(0, 1)))(h, tc)
+    rh, rt = jax.jit(jax.grad(loss(pm_ref), argnums=(0, 1)))(h, tc)
+    oks.append(check("pooled_m grad h", gh, rh))
+    oks.append(check("pooled_m grad tc", gt, rt))
+
+    hb = h.astype(jnp.bfloat16)
+    tb = tc.astype(jnp.bfloat16)
+    oks.append(
+        check("pooled_m bf16 fwd", jax.jit(pooled_m)(hb, tb), pm_ref(hb, tb),
+              tol=2e-2)
+    )
+
+    # --------------------------------------------------- fused_frame_swiglu
+    from equihgnn_tpu.nn.faformer import _SIGN_OPS
+    from equihgnn_tpu.ops.pallas.frame_swiglu import fused_frame_swiglu
+
+    def fs_ref(x, w1, b1, ls, lb):
+        c = x.shape[1]
+        sgn = jnp.concatenate(
+            [jnp.asarray(_SIGN_OPS, jnp.float32),
+             jnp.ones((8, c - 3), jnp.float32)], axis=1
+        )
+        pre = jnp.einsum("oc,pc,ch->poh", sgn, x, w1) + b1
+        hh = w1.shape[1] // 2
+        y = jax.nn.silu(pre[..., :hh]) * pre[..., hh:]
+        mu = y.mean(-1, keepdims=True)
+        d = y - mu
+        z = d * jax.lax.rsqrt((d * d).mean(-1, keepdims=True) + 1e-5)
+        return (z * ls + lb).mean(1)
+
+    p, c, hdim = 7321, 6, 256
+    xx = jnp.asarray(rng.standard_normal((p, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hdim)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(hdim) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.standard_normal(hdim // 2) * 0.5 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal(hdim // 2) * 0.1, jnp.float32)
+    args = (xx, w1, b1, ls, lb)
+    oks.append(
+        check("frame_swiglu fwd", jax.jit(fused_frame_swiglu)(*args),
+              fs_ref(*args))
+    )
+
+    def l2(fn, *a):
+        return jnp.sum(jnp.cos(fn(*a)))
+
+    gk = jax.jit(jax.grad(lambda *a: l2(fused_frame_swiglu, *a),
+                          argnums=(0, 1, 2, 3, 4)))(*args)
+    gr = jax.jit(jax.grad(lambda *a: l2(fs_ref, *a),
+                          argnums=(0, 1, 2, 3, 4)))(*args)
+    for nm, a_, b_ in zip(("dx", "dw1", "db1", "dls", "dlb"), gk, gr):
+        oks.append(check(f"frame_swiglu grad {nm}", a_, b_))
+
+    # dropout determinism (TPU-only path): same seed → same output; the
+    # backward regenerates the identical mask (grad nonzero iff kept)
+    if jax.default_backend() == "tpu":
+        seed = jnp.int32(1234)
+        f1 = jax.jit(
+            lambda *a: fused_frame_swiglu(*a, drop_rate=0.25, seed=seed)
+        )
+        o1, o2 = f1(*args), f1(*args)
+        oks.append(check("frame_swiglu dropout deterministic", o1, o2, 1e-7))
+        gdrop = jax.jit(
+            jax.grad(
+                lambda *a: jnp.sum(
+                    fused_frame_swiglu(*a, drop_rate=0.25, seed=seed)
+                )
+            )
+        )(*args)
+        finite = bool(np.all(np.isfinite(np.asarray(gdrop))))
+        print(f"{'PASS' if finite else 'FAIL'} frame_swiglu dropout grad finite")
+        oks.append(finite)
+
+    # -------------------------------------------------- edge_mlp, segment_sum
+    from equihgnn_tpu.ops.pallas.segment_sum import sorted_segment_sum
+
+    nnz, ns, d = 4096, 512, 256
+    seg = jnp.sort(jnp.asarray(rng.integers(0, ns, nnz), jnp.int32))
+    vals = jnp.asarray(rng.standard_normal((nnz, d)), jnp.float32)
+    got = jax.jit(lambda v, s: sorted_segment_sum(v, s, ns))(vals, seg)
+    want = jax.ops.segment_sum(vals, seg, num_segments=ns)
+    oks.append(check("sorted_segment_sum fwd", got, want))
+
+    print("ALL PASS" if all(oks) else "SOME FAILED", f"({sum(oks)}/{len(oks)})")
+    return 0 if all(oks) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
