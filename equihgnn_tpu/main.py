@@ -97,6 +97,26 @@ def build_parser() -> argparse.ArgumentParser:
 GRAPH_METHODS = ("gin", "gcn", "gat", "gatv2")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first compile of a (model, batch
+    spec) is 20-40 s on the TPU; reruns of the same config hit the disk
+    cache. Off with EQUIHGNN_TPU_COMPILE_CACHE=0 or an unwritable dir."""
+    cache = os.environ.get(
+        "EQUIHGNN_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "equihgnn_tpu_xla"),
+    )
+    if cache in ("0", ""):
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        print(f"[main] compilation cache disabled: {e}")
+
+
 def run(args) -> dict:
     # --platform flag, or EQUIHGNN_TPU_PLATFORM env (lets the smoke scripts
     # run on CPU in CI without editing their parity-mirroring arg lists)
@@ -107,6 +127,8 @@ def run(args) -> dict:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+    _enable_compile_cache()
 
     import equihgnn_tpu.data.datasets  # noqa: F401
     import equihgnn_tpu.models  # noqa: F401
