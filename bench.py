@@ -174,6 +174,9 @@ def bench_method(method: str, epochs: int = 5, dtype: str | None = None) -> dict
 
 
 def main():
+    from equihgnn_tpu.main import _enable_compile_cache
+
+    _enable_compile_cache()  # reruns of identical configs skip the 20-40 s compiles
     run_all = "--all" in sys.argv
     methods = (
         ["egnn_equihnns", "equiformer_equihnns", "se3_transformer_equihnns",
