@@ -297,7 +297,9 @@ class Trainer:
             losses.append(loss)
             if self.cfg.debug:
                 break
-        return sum(float(l) for l in losses) / max(len(losses), 1)
+        if not losses:
+            return 0.0
+        return float(np.mean(jax.device_get(losses)))  # one fetch per epoch
 
     def eval_epoch(self, loader, make_empty=None) -> EvalAccumulator:
         acc = EvalAccumulator(std=self.std)
