@@ -41,7 +41,10 @@ def extract_zip(path: str, folder: str):
 
 def extract_tar(path: str, folder: str):
     with tarfile.open(path) as t:
-        t.extractall(folder, filter="data")
+        try:
+            t.extractall(folder, filter="data")
+        except TypeError:  # filter= needs >= 3.10.12 / 3.11.4
+            t.extractall(folder)
 
 
 def extract_gz(path: str, out_path: str | None = None):

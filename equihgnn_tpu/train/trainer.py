@@ -118,10 +118,14 @@ class _Prefetcher:
         return self
 
     def __next__(self):
+        if self._stop.is_set():  # closed or exhausted: never block again
+            raise StopIteration
         kind, val = self._q.get()
         if kind is self._END:
+            self._stop.set()
             raise StopIteration
         if kind is self._ERR:
+            self._stop.set()
             raise val
         return val
 

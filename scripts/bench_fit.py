@@ -1,13 +1,15 @@
-"""Fit-path throughput: the REAL Trainer loop (host loader + padding + H2D +
-jitted step), not bench.py's pre-staged device batches.
+"""Fit-path throughput: the REAL Trainer train loop (host loader + padding +
+H2D + jitted step), not bench.py's pre-staged device batches.
 
     python scripts/bench_fit.py [method] [n_mols] [epochs]
 
-Measures wall ms/step of `Trainer.train_epoch` via `fit()` on synthetic
-QM9-like molecules at the reference recipe shapes (hidden 256, batch 768).
-The gap between this number and bench.py's device step time is the host
-overhead the async loop (PERF.md "Async training loop") is meant to remove:
-the pre-async full-length run showed ~165 ms wall/step vs 21.8 ms device.
+Times `Trainer.train_epoch` directly (no eval / checkpoint contamination)
+on synthetic QM9-like molecules at the reference recipe shapes (hidden 256,
+batch 768), counting the actual batches each shuffled epoch produces (the
+greedy capacity packer's batch count varies per epoch). The gap between
+this number and bench.py's device step time is the host overhead the async
+loop (PERF.md "Async training loop") is meant to remove: the pre-async
+full-length run showed ~165 ms wall/step vs 21.8 ms device.
 
 Axon discipline: one TPU client at a time; never kill mid-work.
 """
@@ -35,6 +37,7 @@ def main():
 
         jax.config.update("jax_platforms", os.environ["BENCH_FIT_PLATFORM"])
 
+    import jax
     import numpy as np
 
     from equihgnn_tpu import create_model
@@ -50,11 +53,17 @@ def main():
     spec = spec_for_samples(samples, batch_size=BATCH)
     packed = PackedSamples.from_samples(samples)
 
-    def loader(shuffle=False, epoch=0):
-        return iter_packed_batches(
+    steps = {"n": 0, "mols": 0}
+
+    def loader(epoch, count=False):
+        for b in iter_packed_batches(
             packed, spec, target=0, with_pos=True, pack_slots=True,
-            shuffle=shuffle, rng=np.random.default_rng(epoch),
-        )
+            shuffle=True, rng=np.random.default_rng(epoch),
+        ):
+            if count:
+                steps["n"] += 1
+                steps["mols"] += int(b.graph_mask.sum())
+            yield b
 
     model = create_model(
         method, num_target=1,
@@ -63,34 +72,31 @@ def main():
             output_num_layers=3, aggregate="mean", normalization="ln",
         ),
     )
-    cfg = TrainConfig(epochs=epochs + 1, lr=1e-4, seed=0, num_bootstraps=2)
-    example = next(iter(loader()))
+    cfg = TrainConfig(epochs=1, lr=1e-4, seed=0, num_bootstraps=2)
+    example = next(loader(0))
     trainer = Trainer(model, cfg, example, std=1.0)
+    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
 
-    # epoch 0 pays compile; time epochs 1..N via the recorded epoch_time
-    t_first = time.perf_counter()
-    trainer.fit(
-        lambda e: loader(True, e),
-        lambda: iter_packed_batches(
-            packed, spec, target=0, with_pos=True, pack_slots=True,
-            indices=np.arange(min(BATCH, len(samples))),
-        ),
-    )
-    total = time.perf_counter() - t_first
-    steps_per_epoch = (len(samples) + BATCH - 1) // BATCH
-    times = [h["epoch_time"] for h in trainer.history]
-    steady = times[1:] or times
-    wall_ms_per_step = 1e3 * (sum(steady) / len(steady)) / steps_per_epoch
+    # epoch 0 pays compile; epochs 1..N are the measurement
+    t0 = time.perf_counter()
+    trainer.train_epoch(loader(0), cfg.lr, rng)
+    compile_epoch_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for e in range(1, epochs + 1):
+        trainer.train_epoch(loader(e, count=True), cfg.lr, rng)
+    dt = time.perf_counter() - t0
+
+    wall_ms_per_step = 1e3 * dt / max(steps["n"], 1)
     out = {
         "metric": "fit_path_wall_ms_per_step",
         "method": method,
         "n_mols": n_mols,
-        "steps_per_epoch": steps_per_epoch,
-        "epochs_timed": len(steady),
+        "steps_timed": steps["n"],
+        "epochs_timed": epochs,
         "wall_ms_per_step": round(wall_ms_per_step, 2),
-        "mols_per_sec_fit_path": round(BATCH / (wall_ms_per_step / 1e3), 1),
-        "compile_epoch_s": round(times[0], 2),
-        "total_s": round(total, 2),
+        "mols_per_sec_fit_path": round(steps["mols"] / dt, 1),
+        "compile_epoch_s": round(compile_epoch_s, 2),
     }
     print(json.dumps(out))
 

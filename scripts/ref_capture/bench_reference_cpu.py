@@ -86,12 +86,18 @@ def main():
         torch.set_num_threads(a.threads)
     torch.manual_seed(0)
 
-    samples = make_synthetic_dataset(a.batch_size, seed=5)
-    d = collate_reference_batch(samples)
-    data = RefData(d)
-    if a.method != "mhnns" and a.method != "mhnn":
-        pos = np.concatenate([s.pos for s in samples]).astype(np.float32)
-        data.pos = torch.from_numpy(pos)
+    if a.method in ("gin", "gcn"):
+        from capture_baseline2d import GraphData
+
+        samples = make_synthetic_dataset(a.batch_size, seed=5, hyper=False)
+        data = GraphData(samples)
+    else:
+        samples = make_synthetic_dataset(a.batch_size, seed=5)
+        d = collate_reference_batch(samples)
+        data = RefData(d)
+        if a.method != "mhnns" and a.method != "mhnn":
+            pos = np.concatenate([s.pos for s in samples]).astype(np.float32)
+            data.pos = torch.from_numpy(pos)
     data.y = torch.randn(a.batch_size)
 
     model = build_model(a.method, a.hidden, a.output_hidden)

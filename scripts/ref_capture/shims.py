@@ -156,21 +156,24 @@ def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32,
                  flow="source_to_target"):
     """torch_cluster.radius_graph: all same-batch pairs within radius r,
     edge_index[0]=source/neighbor j, edge_index[1]=target/center i.
-    torch_cluster caps per-center neighbors at max_num_neighbors in INDEX
-    order; nonzero() is row-major (j ascending within each center i), so a
-    per-center rank < cap mask reproduces the truncation exactly."""
+    torch_geometric's radius_graph calls radius() with a cap of
+    max_num_neighbors (loop=True) or max_num_neighbors+1 (loop=False,
+    self-loops removed afterwards); radius() truncates candidates in INDEX
+    order, self-match included. nonzero() is row-major (j ascending within
+    each center i), so a per-center rank < cap mask over the
+    self-inclusive candidate set reproduces that truncation exactly."""
     n = x.shape[0]
     if batch is None:
         batch = torch.zeros(n, dtype=torch.long)
     d = torch.cdist(x, x)
     ok = (d <= r) & (batch.unsqueeze(0) == batch.unsqueeze(1))
-    if not loop:
-        ok &= ~torch.eye(n, dtype=torch.bool)
     i_idx, j_idx = ok.nonzero(as_tuple=True)  # i = center row, j = neighbor
     counts = torch.bincount(i_idx, minlength=n)
     offsets = torch.cumsum(counts, 0) - counts
     rank = torch.arange(i_idx.numel()) - offsets[i_idx]
-    keep = rank < max_num_neighbors
+    keep = rank < (max_num_neighbors if loop else max_num_neighbors + 1)
+    if not loop:
+        keep &= i_idx != j_idx
     i_idx, j_idx = i_idx[keep], j_idx[keep]
     assert flow == "source_to_target"
     return torch.stack([j_idx, i_idx], dim=0)

@@ -128,7 +128,38 @@ def main():
         print(f"{'PASS' if finite else 'FAIL'} frame_swiglu dropout grad finite")
         oks.append(finite)
 
-    # -------------------------------------------------- edge_mlp, segment_sum
+    # ------------------------------------------------------------- edge_mlp
+    from equihgnn_tpu.ops.pallas import edge_mlp as em
+
+    g2, a2, f2, k2, m2 = 3, 32, 64, 8, 48
+    ui = jnp.asarray(rng.standard_normal((g2, a2, f2)), jnp.float32)
+    ujn = jnp.asarray(rng.standard_normal((g2, a2, f2)), jnp.float32)
+    dist = jnp.asarray(rng.standard_normal((g2, a2, k2)) ** 2, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, a2, (g2, a2, k2)), jnp.int32)
+    wd = jnp.asarray(rng.standard_normal(f2) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal(f2) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((f2, m2)) * 0.2, jnp.float32)
+    b1m = jnp.asarray(rng.standard_normal(m2) * 0.1, jnp.float32)
+    eargs = (ui, ujn, dist, idx, wd, b0, w1, b1m)
+    assert em._supported(a2, k2, f2, m2)
+    oks.append(
+        check("edge_mlp fwd", jax.jit(em._fused)(*eargs),
+              em._xla_forward(*eargs))
+    )
+
+    def el(fn, *a):
+        return jnp.sum(jnp.sin(fn(*a)))
+
+    ge = jax.jit(jax.grad(lambda *a: el(em._fused, *a),
+                          argnums=(0, 1, 2, 4, 5, 6, 7)))(*eargs)
+    gre = jax.jit(jax.grad(lambda *a: el(em._xla_forward, *a),
+                           argnums=(0, 1, 2, 4, 5, 6, 7)))(*eargs)
+    for nm, a_, b_ in zip(
+        ("dui", "dujn", "ddist", "dwd", "db0", "dw1", "db1"), ge, gre
+    ):
+        oks.append(check(f"edge_mlp grad {nm}", a_, b_))
+
+    # ----------------------------------------------------------- segment_sum
     from equihgnn_tpu.ops.pallas.segment_sum import sorted_segment_sum
 
     nnz, ns, d = 4096, 512, 256

@@ -139,7 +139,8 @@ def test_fit_reproducible_same_seed(tmp_path):
             "mhnns", num_target=1,
             cfg=ModelConfig(mlp_hidden=16, output_hidden=8, dropout=0.3),
         )
-        cfg = TrainConfig(epochs=3, lr=3e-3, seed=7, num_bootstraps=2)
+        cfg = TrainConfig(epochs=3, lr=3e-3, seed=7, num_bootstraps=2,
+                          log_dir=str(tmp_path))  # keep ckpts out of the cwd
         tr = Trainer(model, cfg, pad_hypergraph_batch(samples[:32], spec),
                      std=1.0)
         tr.fit(
