@@ -31,3 +31,29 @@ def test_synthetic_smoke_script(script, tmp_path):
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "Task end time" in proc.stdout
     assert "test_mae_mean" in proc.stdout
+
+
+def test_cli_data_parallel_smoke(tmp_path):
+    """The CLI --data_parallel path end to end on a virtual 8-device mesh
+    (flag → mesh build → shard_map step → DP eval all-gather → test CSV)."""
+    env = dict(os.environ)
+    env["EQUIHGNN_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    proc = subprocess.run(
+        [
+            "python", "-m", "equihgnn_tpu.main",
+            "--data", "synthetic_hg_3d", "--method", "mhnns",
+            "--epochs", "1", "--batch_size", "16", "--debug",
+            "--data_parallel", "--synthetic_size", "128",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "test_mae_mean" in proc.stdout
