@@ -243,6 +243,13 @@ def run(args) -> dict:
             data_parallel=args.data_parallel,
             num_devices=args.num_devices,
             debug=args.debug,
+            run_meta={
+                "method": args.method,
+                "model_config": dataclasses.asdict(cfg),
+                "std": float(std),
+                "target": args.target,
+                "data": args.data,
+            },
         )
         example = next(iter(loader(train_s, False)))
         trainer = Trainer(model, tcfg, example, std=std)

@@ -62,6 +62,10 @@ class TrainConfig:
     # 768 shapes on the v5e (measured), while "rbg" is the TPU-native counter
     # RNG: faformer 1,913 -> 2,905 mols/s, same loss trajectory (PERF.md).
     rng_impl: str = "rbg"
+    # Extra run identity (method name, ModelConfig, std, ...) merged into
+    # every checkpoint's .meta.json so `equihgnn_tpu.predict` can rebuild
+    # the model from the checkpoint alone.
+    run_meta: dict | None = None
 
 
 def _adam_like(weight_decay: float, clip_gnorm: float | None = None):
@@ -447,6 +451,8 @@ class Trainer:
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
         if meta is not None:
+            if self.cfg.run_meta:
+                meta = {**self.cfg.run_meta, **meta}
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
 
