@@ -46,15 +46,23 @@ import numpy as np
 VALENCE_ELECTRONS = {
     1: 1, 5: 3, 6: 4, 7: 5, 8: 6, 9: 7,
     14: 4, 15: 5, 16: 6, 17: 7, 35: 7, 53: 7,
+    32: 4, 33: 5, 34: 6, 50: 4, 52: 6,
 }
 # default total valence (bond order sum incl. H) used for implicit-H counts
 DEFAULT_VALENCE = {
     1: 1, 5: 3, 6: 4, 7: 3, 8: 2, 9: 1,
     14: 4, 15: 3, 16: 2, 17: 1, 35: 1, 53: 1,
+    32: 4, 33: 3, 34: 2, 50: 4, 52: 2,
 }
 SYMBOLS = {
     1: "H", 5: "B", 6: "C", 7: "N", 8: "O", 9: "F",
     14: "Si", 15: "P", 16: "S", 17: "Cl", 35: "Br", 53: "I",
+    # bracket-atom elements (OPV chemistry + common salts); metals appear
+    # only as bracket atoms whose H count is explicit, so DEFAULT_VALENCE
+    # entries are not needed for them
+    32: "Ge", 33: "As", 34: "Se", 50: "Sn", 52: "Te",
+    3: "Li", 11: "Na", 12: "Mg", 13: "Al", 19: "K", 20: "Ca",
+    26: "Fe", 29: "Cu", 30: "Zn",
 }
 ATOMIC_NUM = {v: k for k, v in SYMBOLS.items()}
 
@@ -136,12 +144,18 @@ class Mol:
     perception (rings, aromatic flags, implicit H, conjugation, groups) run
     eagerly at construction."""
 
-    def __init__(self, z, bonds, bond_types, charge=None, pos=None):
+    def __init__(self, z, bonds, bond_types, charge=None, pos=None,
+                 explicit_h=None):
         self.z = [int(a) for a in z]
         self.bonds = [(int(i), int(j)) for i, j in bonds]
         self.bond_types = list(bond_types)
         self.charge = list(charge) if charge is not None else [0] * len(self.z)
         self.conformer = Conformer(pos) if pos is not None else None
+        # SMILES bracket atoms carry a FIXED H count ([nH] = exactly 1):
+        # explicit_h[i] is None for valence-derived atoms, an int otherwise
+        self._explicit_h = (
+            list(explicit_h) if explicit_h is not None else [None] * len(self.z)
+        )
         n = len(self.z)
         self._adj = [[] for _ in range(n)]
         self._abond = [[] for _ in range(n)]  # bond indices per atom
@@ -170,6 +184,9 @@ class Mol:
         # default valence for the common N+/O- cases
         self._implicit_h = []
         for i in range(n):
+            if self._explicit_h[i] is not None:
+                self._implicit_h.append(int(self._explicit_h[i]))
+                continue
             dv = DEFAULT_VALENCE.get(self.z[i], 0) + (
                 self.charge[i] if self.z[i] in (7, 8, 15, 16) else 0
             )

@@ -19,6 +19,7 @@ from equihgnn_tpu.data.datasets.base import MolDataset
 from equihgnn_tpu.data.datasets.download import download_url, extract_gz
 from equihgnn_tpu.data.featurize import (
     _require_rdkit,
+    mol_from_smiles,
     mol_to_graph,
     mol_to_hypergraph,
     smiles_to_hypergraph,
@@ -142,10 +143,9 @@ class OPVGraph(OPVBase):
     has_pos = False
 
     def process(self):
-        Chem = _require_rdkit()
         out = []
         for _mol_block, smile, y in self._iter():
-            mol = Chem.MolFromSmiles(smile)
+            mol = mol_from_smiles(smile)
             if mol is None:
                 continue
             out.append(mol_to_graph(mol, y=y))

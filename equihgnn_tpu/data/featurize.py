@@ -202,10 +202,21 @@ def mol_to_hypergraph(mol, y=None, pos=None, z=None) -> HyperGraphSample | None:
     )
 
 
+def mol_from_smiles(smiles: str):
+    """RDKit's MolFromSmiles when installed; else the first-party parser
+    (`data/smiles.py`). Returns None on unparsable input either way."""
+    try:
+        Chem = _require_rdkit()
+    except ImportError:
+        from equihgnn_tpu.data.smiles import parse_smiles
+
+        return parse_smiles(smiles)
+    return Chem.MolFromSmiles(smiles)
+
+
 def smiles_to_hypergraph(smiles: str, y=None) -> HyperGraphSample | None:
     """≡ `smi2hgraph` (`reference utils.py:64-105`)."""
-    Chem = _require_rdkit()
-    mol = Chem.MolFromSmiles(smiles)
+    mol = mol_from_smiles(smiles)
     if mol is None:
         return None
     s = mol_to_hypergraph(mol, y=y)

@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", required=True,
                    help="checkpoint dir (e.g. .../ckpt_best); expects "
                         "<ckpt>.meta.json next to it")
-    p.add_argument("--sdf", required=True, help="input molecules (.sdf)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--sdf", help="input molecules (.sdf, 3-D capable)")
+    src.add_argument("--smiles", help="input molecules (text file, one "
+                     "SMILES per line; 2-D trunk methods only)")
     p.add_argument("--out", default="predictions.csv")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--platform", default=None,
@@ -88,6 +91,31 @@ def featurize_sdf(path: str, hyper: bool, with_pos: bool):
     return out
 
 
+def featurize_smiles_file(path: str, hyper: bool):
+    """[(smiles, sample | None)] via RDKit or the first-party parser."""
+    from equihgnn_tpu.data.featurize import (
+        mol_from_smiles,
+        mol_to_graph,
+        smiles_to_hypergraph,
+    )
+
+    y0 = np.zeros(1, np.float32)
+    out = []
+    with open(path) as f:
+        for line in f:
+            smi = line.strip()
+            if not smi:
+                continue
+            if hyper:
+                out.append((smi, smiles_to_hypergraph(smi, y=y0)))
+            else:
+                mol = mol_from_smiles(smi)
+                out.append(
+                    (smi, mol_to_graph(mol, y=y0) if mol is not None else None)
+                )
+    return out
+
+
 def run(args) -> str:
     if args.platform:
         import jax
@@ -114,10 +142,17 @@ def run(args) -> str:
         ("egnn", "visnet", "equiformer", "se3", "faformer")
     )
 
-    rows = featurize_sdf(args.sdf, hyper, with_pos)
+    if args.smiles:
+        if with_pos:
+            raise ValueError(
+                f"method {method!r} needs 3-D coordinates — use --sdf"
+            )
+        rows = featurize_smiles_file(args.smiles, hyper)
+    else:
+        rows = featurize_sdf(args.sdf, hyper, with_pos)
     samples = [s for _, s in rows if s is not None]
     if not samples:
-        raise ValueError(f"no parseable molecules in {args.sdf}")
+        raise ValueError("no parseable molecules in the input")
 
     if method in GRAPH_METHODS:
         model = create_model(method, num_target=1, cfg=cfg, gnn_type=method)

@@ -141,7 +141,8 @@ def test_opv_download_bodies(server, tmp_path, monkeypatch):
         c: np.arange(N_MOLS, dtype=np.float32) + 10 * k
         for k, c in enumerate(opvmod.TARGET_COLUMNS)
     }
-    df = pd.DataFrame({"mol": blocks, "smile": ["C"] * N_MOLS, **targets})
+    smiles = ["c1ccccc1", "Cc1ccsc1", "C=CC#N", "CC(=O)O"] * (N_MOLS // 4)
+    df = pd.DataFrame({"mol": blocks, "smile": smiles, **targets})
     # one row with null gap_extrapolated → excluded from the polymer subset
     df.loc[4, "gap_extrapolated"] = np.nan
     for part in ("train", "valid"):
@@ -174,6 +175,19 @@ def test_opv_download_bodies(server, tmp_path, monkeypatch):
     )
     assert len(ds_v.samples) == N_MOLS
     assert ds_v.processed_path != ds.processed_path
+
+    # 2-D variants featurize from the SMILES column, RDKit-free via the
+    # first-party parser (data/smiles.py)
+    ds_2d = registry.get_data_class("opv_hg")(
+        root=str(tmp_path), partition="train"
+    )
+    assert len(ds_2d.samples) == N_MOLS
+    assert ds_2d.samples[0].atom_feat.shape == (6, 9)  # benzene
+    ds_2dg = registry.get_data_class("opv_g")(
+        root=str(tmp_path), partition="train"
+    )
+    assert len(ds_2dg.samples) == N_MOLS
+    assert ds_2dg.samples[2].edge_feat.shape[0] == 6  # acrylonitrile, 3 bonds×2
 
 
 def test_pcqm_download_bodies(server, tmp_path, monkeypatch):

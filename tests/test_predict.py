@@ -86,3 +86,21 @@ def test_predict_missing_meta(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path / "nope"))
+
+
+def test_predict_from_smiles(tmp_path):
+    """2-D trunk model served on a SMILES list (first-party parser)."""
+    from equihgnn_tpu.predict import build_parser, run
+
+    ckpt = _train_tiny(tmp_path / "m", method="mhnns")
+    smi = tmp_path / "in.smi"
+    smi.write_text("c1ccccc1\nCC(=O)O\nnot_a_molecule\nC=CC#N\n")
+    out = str(tmp_path / "preds.csv")
+    run(build_parser().parse_args(
+        ["--ckpt", ckpt, "--smiles", str(smi), "--out", out]
+    ))
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert rows[2]["prediction"] == "nan"  # unparsable stays row-aligned
+    assert np.isfinite(float(rows[0]["prediction"]))
