@@ -17,6 +17,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-dominated, and the
+# cache key is the HLO hash (code changes always recompile). A cold run pays
+# the same; warm reruns compile ~3x faster. EQUIHGNN_TPU_COMPILE_CACHE=0
+# disables.
+_cache = os.environ.get(
+    "EQUIHGNN_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "equihgnn_tpu_xla"),
+)
+if _cache not in ("0", ""):
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
