@@ -54,46 +54,35 @@ def _basis_vectors(cov, deg):
     return eigvec
 
 
-def _sign_frames(cov, deg):
-    """cov [..., 3, 3] (stop-gradient), deg [..., 1, 1] bool → F_ops
-    [..., 8, 3, 3] from the 2³ sign flips of the PCA eigenvectors."""
-    eigvec = _basis_vectors(cov, deg)
+def _sign_expand(eigvec):
+    """eigvec [..., 3, 3] → F_ops [..., 8, 3, 3]: the 2³ sign flips.
+    F_ops[..., o, i, j] = ops[o, j] * eigvec[..., i, j]."""
     ops = jnp.asarray(_SIGN_OPS)  # [8, 3]
-    # F_ops[..., o, i, j] = ops[o, j] * eigvec[..., i, j]
     return ops[:, None, :] * eigvec[..., None, :, :]  # [..., 8, 3, 3]
 
 
-def create_frame(coords, mask, slot_gid=None, num_graphs=None):
-    """Build the 8 PCA sign frames for each point set.
+def _frame_stats(coords, mask, slot_gid=None, num_graphs=None):
+    """Shared frame statistics: masked centering, stop-gradient covariance,
+    degeneracy gate, eigenbasis — the single source both `create_frame` and
+    `create_frame_basis` build on (the fused SwiGLU kernel relies on their
+    h[o, p, i] == s_o[i] · vbar[p, i] identity, so the statistics must never
+    drift apart).
 
-    coords [..., P, 3], mask [..., P] → (projected [..., 8, P, 3],
-    F_ops [..., 8, 3, 3], center [..., 3]).  Gradients flow through the
-    coordinates but not the eigenvectors (covariance is stop-gradient,
-    `fa_former_layer.py:100-102`).
-
-    Packed-row mode (slot_gid [R, P] molecule ids, -1 = pad; num_graphs=B):
-    frame statistics are per MOLECULE, grouped through a one-hot [R, P, B]
-    matmul (never a scatter), and the returned F_ops/center are per SLOT:
-    ([R, 8, P, 3], [R, P, 8, 3, 3], [R, P, 3]).  `invert_frame` accepts both.
+    Simple mode: (x_centered f32 [..., P, 3], eigvec [..., 3, 3],
+    center [..., 3], None).
+    Packed-row mode (slot_gid [R, P], num_graphs=B): per-MOLECULE statistics
+    grouped through a one-hot [R, P, B] matmul (never a scatter) →
+    (x [R, P, 3], eigvec_g [B, 3, 3], per-slot center [R, P, 3], ohg).
     """
-    dt = coords.dtype
+    coords = coords.astype(jnp.float32)
     if slot_gid is None:
         m = mask[..., None].astype(jnp.float32)
-        coords = coords.astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # [..., 1]
         center = jnp.sum(coords * m, axis=-2) / cnt  # [..., 3]
         x = (coords - center[..., None, :]) * m  # masked centering
-        cov = jax.lax.stop_gradient(
-            jnp.einsum("...pi,...pj->...ij", x, x)
-        )
+        cov = jax.lax.stop_gradient(jnp.einsum("...pi,...pj->...ij", x, x))
         deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
-        f_ops = _sign_frames(cov, deg)
-        # project: h[..., o, p, i] = Σ_j F_ops[..., o, j, i] x[..., p, j]
-        h = jnp.einsum("...oji,...pj->...opi", f_ops, x)
-        return h.astype(dt), f_ops, center
-
-    # molecule-grouped statistics on packed slot rows
-    coords = coords.astype(jnp.float32)
+        return x, _basis_vectors(cov, deg), center, None
     ohg = (
         (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
         & mask[..., None]
@@ -105,8 +94,30 @@ def create_frame(coords, mask, slot_gid=None, num_graphs=None):
     x = (coords - center) * mask[..., None].astype(coords.dtype)
     cov_g = jax.lax.stop_gradient(jnp.einsum("rpb,rpi,rpj->bij", ohg, x, x))
     deg = (raw_cnt < 0.5)[:, None, None]
-    f_ops_g = _sign_frames(cov_g, deg)  # [B, 8, 3, 3]
-    f_ops = jnp.einsum("rpb,boij->rpoij", ohg, f_ops_g)  # per-slot
+    return x, _basis_vectors(cov_g, deg), center, ohg
+
+
+def create_frame(coords, mask, slot_gid=None, num_graphs=None):
+    """Build the 8 PCA sign frames for each point set.
+
+    coords [..., P, 3], mask [..., P] → (projected [..., 8, P, 3],
+    F_ops [..., 8, 3, 3], center [..., 3]).  Gradients flow through the
+    coordinates but not the eigenvectors (covariance is stop-gradient,
+    `fa_former_layer.py:100-102`).
+
+    Packed-row mode (slot_gid [R, P] molecule ids, -1 = pad; num_graphs=B):
+    frame statistics are per MOLECULE (`_frame_stats`), and the returned
+    F_ops/center are per SLOT: ([R, 8, P, 3], [R, P, 8, 3, 3], [R, P, 3]).
+    `invert_frame` accepts both.
+    """
+    dt = coords.dtype
+    x, eigvec, center, ohg = _frame_stats(coords, mask, slot_gid, num_graphs)
+    if ohg is None:
+        f_ops = _sign_expand(eigvec)
+        # project: h[..., o, p, i] = Σ_j F_ops[..., o, j, i] x[..., p, j]
+        h = jnp.einsum("...oji,...pj->...opi", f_ops, x)
+        return h.astype(dt), f_ops, center
+    f_ops = jnp.einsum("rpb,boij->rpoij", ohg, _sign_expand(eigvec))
     h = jnp.einsum("rpoji,rpj->ropi", f_ops, x)  # [R, 8, P, 3]
     return h.astype(dt), f_ops, center
 
@@ -118,37 +129,16 @@ def create_frame_basis(coords, mask, slot_gid=None, num_graphs=None):
     kernel (`ops/pallas/frame_swiglu.py`) instead of materializing h.
 
     coords [..., P, 3], mask [..., P] → (vbar [..., P, 3], center).
-    Packed-row mode matches `create_frame`'s (per-molecule statistics via
-    the one-hot [R, P, B] matmul). Same gradient semantics: the eigenbasis
-    is stop-gradient, the centered coordinates are not.
+    Statistics and gradient semantics are `_frame_stats`'s — identical to
+    `create_frame` by construction.
     """
     dt = coords.dtype
-    coords = coords.astype(jnp.float32)
-    if slot_gid is None:
-        m = mask[..., None].astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-        center = jnp.sum(coords * m, axis=-2) / cnt
-        x = (coords - center[..., None, :]) * m
-        cov = jax.lax.stop_gradient(jnp.einsum("...pi,...pj->...ij", x, x))
-        deg = (jnp.sum(m, axis=(-2, -1)) < 0.5)[..., None, None]
-        eigvec = _basis_vectors(cov, deg)
+    x, eigvec, center, ohg = _frame_stats(coords, mask, slot_gid, num_graphs)
+    if ohg is None:
         vbar = jnp.einsum("...ji,...pj->...pi", eigvec, x)
         return vbar.astype(dt), center
-
-    ohg = (
-        (slot_gid[..., None] == jnp.arange(num_graphs)[None, None, :])
-        & mask[..., None]
-    ).astype(jnp.float32)  # [R, P, B]
-    raw_cnt = jnp.einsum("rpb->b", ohg)
-    cnt = jnp.maximum(raw_cnt, 1.0)
-    center_g = jnp.einsum("rpb,rpd->bd", ohg, coords) / cnt[:, None]
-    center = jnp.einsum("rpb,bd->rpd", ohg, center_g)
-    x = (coords - center) * mask[..., None].astype(coords.dtype)
-    cov_g = jax.lax.stop_gradient(jnp.einsum("rpb,rpi,rpj->bij", ohg, x, x))
-    deg = (raw_cnt < 0.5)[:, None, None]
-    eigvec_g = _basis_vectors(cov_g, deg)  # [B, 3, 3]
-    eigvec = jnp.einsum("rpb,bji->rpji", ohg, eigvec_g)  # per-slot
-    vbar = jnp.einsum("rpji,rpj->rpi", eigvec, x)
+    ev = jnp.einsum("rpb,bji->rpji", ohg, eigvec)  # per-slot
+    vbar = jnp.einsum("rpji,rpj->rpi", ev, x)
     return vbar.astype(dt), center
 
 

@@ -232,7 +232,7 @@ class _ConvSE3Pair(nn.Module):
                 tc = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
                 tsum = jnp.sum(tc, axis=2)  # [G, A, c, i]
                 c_, i_ = tc.shape[-2:]
-                if s == 1 and pooled_m_supported(a_, k_, c_ * i_, f):
+                if s == 1 and pooled_m_supported(k_, c_ * i_, f):
                     # K=16 contraction in VMEM (ops/pallas/pooled_m.py):
                     # XLA's batched-small-matmul lowering of the M einsum ran
                     # at ~2.9 TF/s; the kernel emits M in the projection's

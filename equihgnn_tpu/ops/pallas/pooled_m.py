@@ -47,8 +47,10 @@ def _fwd_kernel(h_ref, t_ref, o_ref):
     for s in range(_SITES):
         ht = h_ref[0, s]  # [K, F]
         tt = t_ref[0, s]  # [K, X]
-        # [X, F] = Σ_k tt[k, x] · ht[k, f]
-        o_ref[0, s] = _dot(tt, ht, ((0,), (0,)))
+        # [X, F] = Σ_k tt[k, x] · ht[k, f]; f32 accumulation in the dot,
+        # emitted in the input dtype (a bf16 run would otherwise write the
+        # model's largest temp at 2x width and re-convert it downstream)
+        o_ref[0, s] = _dot(tt, ht, ((0,), (0,))).astype(o_ref.dtype)
 
 
 def _bwd_kernel(h_ref, t_ref, dm_ref, dh_ref, dt_ref):
@@ -56,12 +58,13 @@ def _bwd_kernel(h_ref, t_ref, dm_ref, dh_ref, dt_ref):
         ht = h_ref[0, s]  # [K, F]
         tt = t_ref[0, s]  # [K, X]
         dm = dm_ref[0, s]  # [X, F]
-        dh_ref[0, s] = _dot(tt, dm, ((1,), (0,)))  # [K, F] over X
-        dt_ref[0, s] = _dot(ht, dm, ((1,), (1,)))  # [K, X] over F
+        dh_ref[0, s] = _dot(tt, dm, ((1,), (0,))).astype(dh_ref.dtype)  # over X
+        dt_ref[0, s] = _dot(ht, dm, ((1,), (1,))).astype(dt_ref.dtype)  # over F
 
 
-def pooled_m_supported(a, k, x, f):
-    """Static gate: site-tileable shapes within the VMEM budget."""
+def pooled_m_supported(k, x, f):
+    """Static gate: per-site-tile VMEM budget (the A axis is padded to the
+    site tile internally, so any A works)."""
     vmem = _SITES * (k * f + k * x + 2 * x * f) * 4
     return k >= 1 and vmem < VMEM_BUDGET
 
@@ -108,7 +111,7 @@ def _pm_fwd(h, tc):
         grid=(g, ap // _SITES),
         in_specs=ins,
         out_specs=o,
-        out_shape=jax.ShapeDtypeStruct((g, ap, x, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, ap, x, f), h.dtype),
         cost_estimate=_cost(g * a, k, x, f, bwd=False),
         interpret=jax.default_backend() != "tpu",
     )(hp, tp)
@@ -121,7 +124,7 @@ def _pm_bwd(res, dm):
     x = tc.shape[-1]
     a_pad = (-a) % _SITES
     hp, tp = _pad_sites(h, a_pad), _pad_sites(tc, a_pad)
-    dmp = _pad_sites(dm.astype(jnp.float32), a_pad)
+    dmp = _pad_sites(dm, a_pad)
     ap = a + a_pad
     ins, _ = _specs(k, x, f, True)
     dh, dt = pl.pallas_call(
@@ -133,13 +136,13 @@ def _pm_bwd(res, dm):
             pl.BlockSpec((1, _SITES, k, x), lambda g, a: (g, a, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, ap, k, f), jnp.float32),
-            jax.ShapeDtypeStruct((g, ap, k, x), jnp.float32),
+            jax.ShapeDtypeStruct((g, ap, k, f), h.dtype),
+            jax.ShapeDtypeStruct((g, ap, k, x), tc.dtype),
         ],
         cost_estimate=_cost(g * a, k, x, f, bwd=True),
         interpret=jax.default_backend() != "tpu",
     )(hp, tp, dmp)
-    return dh[:, :a].astype(h.dtype), dt[:, :a].astype(tc.dtype)
+    return dh[:, :a], dt[:, :a]
 
 
 _pooled_m.defvjp(_pm_fwd, _pm_bwd)
@@ -149,8 +152,8 @@ def pooled_m(h, tc):
     """M[g, a, x, f] = Σ_k h[g, a, k, f] · tc[g, a, k, x] (f32 out).
 
     h [G, A, K, F], tc [G, A, K, X] in any float dtype (bf16 keeps the MXU
-    dots in bf16 with f32 accumulation). Callers flatten trailing (c, i)
-    axes of the CG×SH-contracted neighbor feature into X and reshape the
-    output to [G, A, C, I, F].
+    dots in bf16 with f32 accumulation; the output is emitted in h.dtype).
+    Callers flatten trailing (c, i) axes of the CG×SH-contracted neighbor
+    feature into X and reshape the output to [G, A, C, I, F].
     """
     return _pooled_m(h, tc)

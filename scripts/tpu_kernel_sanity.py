@@ -63,8 +63,10 @@ def main():
 
     hb = h.astype(jnp.bfloat16)
     tb = tc.astype(jnp.bfloat16)
+    outb = jax.jit(pooled_m)(hb, tb)
+    assert outb.dtype == jnp.bfloat16  # emitted in input dtype
     oks.append(
-        check("pooled_m bf16 fwd", jax.jit(pooled_m)(hb, tb), pm_ref(hb, tb),
+        check("pooled_m bf16 fwd", outb.astype(jnp.float32), pm_ref(hb, tb),
               tol=2e-2)
     )
 
@@ -127,6 +129,28 @@ def main():
         finite = bool(np.all(np.isfinite(np.asarray(gdrop))))
         print(f"{'PASS' if finite else 'FAIL'} frame_swiglu dropout grad finite")
         oks.append(finite)
+        # fwd/bwd dropout-mask AGREEMENT: the backward regenerates the mask
+        # from (seed, program_id); if it desyncs from the forward draw, the
+        # analytic directional derivative diverges from the central finite
+        # difference (the mask is shape+seed-deterministic, so x ± eps·v see
+        # the identical mask). Untestable off-TPU (no prng_seed lowering).
+        vdir = jnp.asarray(
+            np.random.default_rng(7).standard_normal(xx.shape), jnp.float32
+        )
+        fdrop = jax.jit(
+            lambda x_: jnp.sum(
+                fused_frame_swiglu(x_, w1, b1, ls, lb,
+                                   drop_rate=0.25, seed=seed)
+            )
+        )
+        eps = 1e-3
+        fd = (float(fdrop(xx + eps * vdir)) - float(fdrop(xx - eps * vdir))
+              ) / (2 * eps)
+        analytic = float(jnp.vdot(gdrop, vdir))
+        oks.append(
+            check("frame_swiglu dropout fwd/bwd mask agreement",
+                  np.float64(analytic), np.float64(fd), tol=5e-3)
+        )
 
     # ------------------------------------------------------------- edge_mlp
     from equihgnn_tpu.ops.pallas import edge_mlp as em
