@@ -387,6 +387,13 @@ def _run_streaming(args) -> dict:
             min_lr=args.min_lr if args.use_min_lr else None,
             log_dir=log_dir, data_parallel=args.data_parallel,
             num_devices=args.num_devices, debug=args.debug,
+            run_meta={
+                "method": args.method,
+                "model_config": dataclasses.asdict(cfg),
+                "std": float(std),
+                "target": args.target,
+                "data": args.data,
+            },
         )
         example = next(iter(loader("train", False)))
         trainer = Trainer(model, tcfg, example, std=std)
