@@ -142,9 +142,12 @@ class _GATBase(nn.Module):
                                    name="lin")(x_d)
                 xd2d = xs2d
             else:
-                xs2d = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                # PyG GATv2Conv defaults bias=True on lin_l/lin_r; the bias
+                # does NOT cancel in the logits (LeakyReLU is nonlinear) —
+                # caught by the reference golden (VERDICT round-2 #4).
+                xs2d = TorchLinear(h * f, kernel_init=glorot,
                                    name="lin_l")(x_d)
-                xd2d = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
+                xd2d = TorchLinear(h * f, kernel_init=glorot,
                                    name="lin_r")(x_d)
             cnt_in = jnp.maximum(jnp.einsum("gma->ga", oh_dst), 1.0)
             mean_in_d = (
@@ -203,10 +206,9 @@ class _GATBase(nn.Module):
                               name="lin")(x)  # [n, h*f]
             xd2 = xs2
         else:
-            xs2 = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
-                              name="lin_l")(x)
-            xd2 = TorchLinear(h * f, use_bias=False, kernel_init=glorot,
-                              name="lin_r")(x)
+            # PyG GATv2Conv default bias=True on lin_l/lin_r (see dense path)
+            xs2 = TorchLinear(h * f, kernel_init=glorot, name="lin_l")(x)
+            xd2 = TorchLinear(h * f, kernel_init=glorot, name="lin_r")(x)
         # self-loop edge feature: mean of incoming real edge features per node
         mean_in = segment_sum(edge_attr, edge_dst, n, mask=edge_mask)
         cnt_in = segment_count(edge_dst, n, mask=edge_mask)[:, None]

@@ -1,13 +1,19 @@
-"""Capture PyTorch-reference goldens for the 2-D GNN baselines (GIN / GCN).
+"""Capture PyTorch-reference goldens for the 2-D GNN baselines
+(GIN / GCN / GAT / GATv2).
 
 Runs the reference `GNN_2D` (`/root/reference/equihgnn/models/
 baseline_2d.py:19-206`) under CPU torch. The only shimmed machinery on this
 path is `MessagePassing` (source_to_target gather + scatter-add — the exact
-PyG semantics for these convs), `degree`, the pooling functions, and the
-OGB encoders (shims.py documents each contract).
+PyG semantics for these convs), `degree`, the pooling functions, the OGB
+encoders, and — since PyG wheels are not in this image — torch
+reimplementations of `GATConv`/`GATv2Conv` with PyG's documented semantics
+(shims.py states each contract). The GAT goldens therefore pin agreement
+between two INDEPENDENT implementations (torch edge-list vs JAX dense
+head-batched) of the same published math, not against PyG binaries.
 
-GAT/GATv2 use PyG's own GATConv/GATv2Conv (not in this image); their parity
-is covered by the self-oracles in tests/test_baseline2d_oracles.py instead.
+Linear biases are randomized before capture so bias-handling bugs are
+binding (all-zero biases would pass silently — this is how the GATv2
+lin_l/lin_r bias=True default was caught, VERDICT round-2 #4).
 
 Usage: python scripts/ref_capture/capture_baseline2d.py
 """
@@ -61,6 +67,14 @@ class GraphData:
         }
 
 
+def randomize_biases(mod: torch.nn.Module, gen: torch.Generator):
+    """Zero-initialized Linear biases hide bias-handling bugs in the
+    framework mapping; give them non-trivial values before capture."""
+    for m in mod.modules():
+        if isinstance(m, torch.nn.Linear) and m.bias is not None:
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=gen) * 0.2)
+
+
 def capture(gnn_type: str, jk="last", pooling="mean", num_layer=3, emb_dim=64):
     samples = make_synthetic_dataset(6, seed=71, hyper=False)
     data = GraphData(samples)
@@ -69,6 +83,8 @@ def capture(gnn_type: str, jk="last", pooling="mean", num_layer=3, emb_dim=64):
                    JK=jk, graph_pooling=pooling)
     gen = torch.Generator().manual_seed(89)
     randomize_bn_stats(model, gen)
+    if gnn_type in ("gat", "gatv2"):
+        randomize_biases(model, gen)
     model.eval()
     with torch.no_grad():
         out = model(data)
@@ -90,3 +106,5 @@ if __name__ == "__main__":
     capture("gin", jk="last", pooling="mean")
     capture("gin", jk="sum", pooling="sum")
     capture("gcn", jk="last", pooling="mean")
+    capture("gat", jk="last", pooling="mean")
+    capture("gatv2", jk="last", pooling="mean")

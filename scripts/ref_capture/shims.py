@@ -249,6 +249,116 @@ def to_dense_batch(x, batch=None, fill_value=0.0, max_num_nodes=None, batch_size
     return out, mask
 
 
+def _add_self_loops_mean(edge_index, edge_attr, num_nodes):
+    """torch_geometric.utils.add_self_loops with fill_value='mean': the
+    self-loop attribute of node i is the scatter-mean of the attributes of
+    edges INTO i (edge_index[1]); nodes with no incoming edges get zeros."""
+    loop_attr = scatter(
+        edge_attr, edge_index[1], dim=0, dim_size=num_nodes, reduce="mean"
+    )
+    loop = torch.arange(num_nodes, dtype=edge_index.dtype)
+    edge_index = torch.cat([edge_index, torch.stack([loop, loop])], dim=1)
+    edge_attr = torch.cat([edge_attr, loop_attr], dim=0)
+    return edge_index, edge_attr
+
+
+def _segment_softmax(alpha, index, num_nodes):
+    """torch_geometric.utils.softmax: per-target-segment softmax."""
+    m = scatter(alpha, index, dim=0, dim_size=num_nodes, reduce="max")
+    ex = torch.exp(alpha - m[index])
+    denom = scatter(ex, index, dim=0, dim_size=num_nodes, reduce="sum")
+    return ex / denom[index].clamp(min=1e-16)
+
+
+class GATConv(nn.Module):
+    """torch_geometric.nn.GATConv for the reference's config
+    (`reference baseline_2d.py:122-124`: heads=4, concat=False,
+    edge_dim=emb_dim, defaults add_self_loops=True / fill_value='mean' /
+    negative_slope=0.2 / dropout=0 / bias=True). PyG 2.x semantics: shared
+    bias-free `lin` for src/dst (int in_channels), per-head attention vectors
+    att_src/att_dst/att_edge, LeakyReLU logits, softmax over incoming
+    edges ∪ {self-loop}, head MEAN (concat=False), then bias."""
+
+    def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                 edge_dim=None, negative_slope=0.2):
+        super().__init__()
+        assert not concat and edge_dim is not None
+        h, c = heads, out_channels
+        self.heads, self.out_channels = h, c
+        self.negative_slope = negative_slope
+        self.lin = nn.Linear(in_channels, h * c, bias=False)
+        self.lin_edge = nn.Linear(edge_dim, h * c, bias=False)
+        self.att_src = nn.Parameter(torch.empty(1, h, c))
+        self.att_dst = nn.Parameter(torch.empty(1, h, c))
+        self.att_edge = nn.Parameter(torch.empty(1, h, c))
+        self.bias = nn.Parameter(torch.zeros(c))
+        nn.init.xavier_uniform_(self.lin.weight)
+        nn.init.xavier_uniform_(self.lin_edge.weight)
+        nn.init.xavier_uniform_(self.att_src)
+        nn.init.xavier_uniform_(self.att_dst)
+        nn.init.xavier_uniform_(self.att_edge)
+
+    def forward(self, x, edge_index, edge_attr):
+        h, c = self.heads, self.out_channels
+        n = x.shape[0]
+        edge_index, edge_attr = _add_self_loops_mean(edge_index, edge_attr, n)
+        src, dst = edge_index[0], edge_index[1]
+        xs = self.lin(x).view(n, h, c)
+        a_src = (xs * self.att_src).sum(-1)  # [n, h]
+        a_dst = (xs * self.att_dst).sum(-1)
+        ea = self.lin_edge(edge_attr).view(-1, h, c)
+        alpha = a_src[src] + a_dst[dst] + (ea * self.att_edge).sum(-1)
+        alpha = torch.nn.functional.leaky_relu(alpha, self.negative_slope)
+        alpha = _segment_softmax(alpha, dst, n)
+        out = scatter(
+            alpha.unsqueeze(-1) * xs[src], dst, dim=0, dim_size=n, reduce="sum"
+        )
+        return out.mean(dim=1) + self.bias
+
+
+class GATv2Conv(nn.Module):
+    """torch_geometric.nn.GATv2Conv for the reference's config
+    (`reference baseline_2d.py:126-128`). PyG defaults: share_weights=False
+    (separate lin_l/lin_r, BOTH bias=True), bias-free lin_edge, single
+    per-head `att` applied after LeakyReLU(x_l[src]+x_r[dst]+edge); message
+    value is the lin_l-transformed source; head mean; final bias."""
+
+    def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                 edge_dim=None, negative_slope=0.2):
+        super().__init__()
+        assert not concat and edge_dim is not None
+        h, c = heads, out_channels
+        self.heads, self.out_channels = h, c
+        self.negative_slope = negative_slope
+        self.lin_l = nn.Linear(in_channels, h * c, bias=True)
+        self.lin_r = nn.Linear(in_channels, h * c, bias=True)
+        self.lin_edge = nn.Linear(edge_dim, h * c, bias=False)
+        self.att = nn.Parameter(torch.empty(1, h, c))
+        self.bias = nn.Parameter(torch.zeros(c))
+        nn.init.xavier_uniform_(self.lin_l.weight)
+        nn.init.xavier_uniform_(self.lin_r.weight)
+        nn.init.xavier_uniform_(self.lin_edge.weight)
+        nn.init.xavier_uniform_(self.att)
+
+    def forward(self, x, edge_index, edge_attr):
+        h, c = self.heads, self.out_channels
+        n = x.shape[0]
+        edge_index, edge_attr = _add_self_loops_mean(edge_index, edge_attr, n)
+        src, dst = edge_index[0], edge_index[1]
+        xl = self.lin_l(x).view(n, h, c)
+        xr = self.lin_r(x).view(n, h, c)
+        ea = self.lin_edge(edge_attr).view(-1, h, c)
+        z = torch.nn.functional.leaky_relu(
+            xl[src] + xr[dst] + ea, self.negative_slope
+        )
+        alpha = (z * self.att).sum(-1)
+        alpha = _segment_softmax(alpha, dst, n)
+        out = scatter(
+            alpha.unsqueeze(-1) * xl[src], dst, dim=0, dim_size=n, reduce="sum"
+        )
+        return out.mean(dim=1) + self.bias
+
+
 class _Unused(nn.Module):
     """Placeholder for layers importable but untouched by captured configs."""
 
@@ -286,8 +396,8 @@ def install():
     tgn.global_add_pool = global_add_pool
     tgn.global_mean_pool = global_mean_pool
     tgn.global_max_pool = global_max_pool
-    tgn.GATConv = _Unused
-    tgn.GATv2Conv = _Unused
+    tgn.GATConv = GATConv
+    tgn.GATv2Conv = GATv2Conv
     tgn.GlobalAttention = _Unused
     tgn.radius_graph = radius_graph
     tga.Set2Set = _Unused

@@ -27,8 +27,12 @@ def _gat_oracle(params, x, src, dst, eattr, v2, heads, f):
                        np.float64) for k, v in params.items()}
     n = x.shape[0]
     if v2:
-        xs = (x @ p["lin_l"]).reshape(n, heads, f)
-        xd = (x @ p["lin_r"]).reshape(n, heads, f)
+        # PyG GATv2Conv lin_l/lin_r default bias=True (reference golden
+        # model_gatv2_last_mean.npz binds this)
+        xs = (x @ p["lin_l"] + np.asarray(params["lin_l"]["bias"], np.float64)
+              ).reshape(n, heads, f)
+        xd = (x @ p["lin_r"] + np.asarray(params["lin_r"]["bias"], np.float64)
+              ).reshape(n, heads, f)
     else:
         xs = (x @ p["lin"]).reshape(n, heads, f)
         xd = xs

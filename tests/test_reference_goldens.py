@@ -529,7 +529,9 @@ def test_faformer_model_golden():
 # -------------------------------------------------------- 2-D GNN baselines
 def gnn2d_tree(st, gnn_type, num_layer=3):
     """Map the reference GNN_2D state dict (`baseline_2d.py:77-206`) onto our
-    GNN2D tree (GIN/GCN — GAT uses PyG convs not capturable here)."""
+    GNN2D tree (GIN/GCN via the reference's own convs; GAT/GATv2 via the
+    PyG-semantics torch shims in scripts/ref_capture/shims.py — two
+    independent implementations of the published math)."""
     params, stats = {}, {}
     atoms = [st[f"atom_encoder.atom_embedding_list.{i}.weight"] for i in range(9)]
     bonds = [st[f"bond_encoder.bond_embedding_list.{i}.weight"] for i in range(3)]
@@ -559,13 +561,36 @@ def gnn2d_tree(st, gnn_type, num_layer=3):
                     "var": st[f"{C}.mlp.1.running_var"],
                 }
             }
-        else:  # gcn
+        elif gnn_type == "gcn":
             params[f"convs_{i}"] = {
                 "linear": {
                     "kernel": st[f"{C}.linear.weight"].T,
                     "bias": st[f"{C}.linear.bias"],
                 },
                 "root_emb": st[f"{C}.root_emb.weight"].reshape(-1),
+            }
+        elif gnn_type == "gat":
+            params[f"convs_{i}"] = {
+                "lin": {"kernel": st[f"{C}.lin.weight"].T},
+                "lin_edge_kernel": st[f"{C}.lin_edge.weight"].T,
+                "att_src": st[f"{C}.att_src"],
+                "att_dst": st[f"{C}.att_dst"],
+                "att_edge": st[f"{C}.att_edge"],
+                "bias": st[f"{C}.bias"],
+            }
+        else:  # gatv2
+            params[f"convs_{i}"] = {
+                "lin_l": {
+                    "kernel": st[f"{C}.lin_l.weight"].T,
+                    "bias": st[f"{C}.lin_l.bias"],
+                },
+                "lin_r": {
+                    "kernel": st[f"{C}.lin_r.weight"].T,
+                    "bias": st[f"{C}.lin_r.bias"],
+                },
+                "lin_edge_kernel": st[f"{C}.lin_edge.weight"].T,
+                "att": st[f"{C}.att"],
+                "bias": st[f"{C}.bias"],
             }
         params[f"batch_norms_{i}"] = {
             "scale": st[f"batch_norms.{i}.weight"],
@@ -584,7 +609,8 @@ def gnn2d_tree(st, gnn_type, num_layer=3):
 
 @pytest.mark.parametrize(
     "gnn_type,jk,pooling",
-    [("gin", "last", "mean"), ("gin", "sum", "sum"), ("gcn", "last", "mean")],
+    [("gin", "last", "mean"), ("gin", "sum", "sum"), ("gcn", "last", "mean"),
+     ("gat", "last", "mean"), ("gatv2", "last", "mean")],
 )
 def test_gnn2d_golden(gnn_type, jk, pooling):
     import dataclasses
