@@ -367,10 +367,57 @@ class _Unused(nn.Module):
         raise NotImplementedError("shim placeholder — not part of golden capture")
 
 
+def _einx_get_at(pattern, t, idx):
+    """einx.get_at for the patterns the reference uses
+    (`reference equiformer_layer.py:356,1331-1342`): gather along the
+    bracketed axis with all axes left of it treated as batch dims."""
+    if pattern == "b [i] d m, b j k -> b j k d m":
+        b = torch.arange(t.shape[0], device=idx.device)[:, None, None]
+        return t[b, idx]
+    if pattern in ("b i [j], b i k -> b i k", "b i [j] d, b i k -> b i k d",
+                   "b i [j] c, b i k -> b i k c"):
+        b = torch.arange(t.shape[0], device=idx.device)[:, None, None]
+        i = torch.arange(t.shape[1], device=idx.device)[None, :, None]
+        return t[b, i, idx]
+    raise NotImplementedError(f"einx.get_at shim: pattern {pattern!r}")
+
+
+class _TaylorSeriesLinearAttn(nn.Module):
+    """Stub: the reference model configs never enable linear attention
+    (num_linear_attn_heads=0, `reference equiformer_layer.py:625-641`)."""
+
+    def __init__(self, *a, **k):
+        super().__init__()
+        raise NotImplementedError(
+            "TaylorSeriesLinearAttn shim: reference configs keep "
+            "num_linear_attn_heads=0"
+        )
+
+
 def install():
     """Register shim modules + reference package parents in sys.modules."""
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+
+    # beartype: runtime type-checking decorator -> identity; beartype.typing
+    # re-exports typing names (the reference only uses it for annotations).
+    if "beartype" not in sys.modules:
+        import typing
+
+        bt = types.ModuleType("beartype")
+        bt.beartype = lambda fn=None, **k: (fn if fn is not None
+                                            else (lambda f: f))
+        bt.typing = typing
+        sys.modules["beartype"] = bt
+        sys.modules["beartype.typing"] = typing
+
+    ex = types.ModuleType("einx")
+    ex.get_at = _einx_get_at
+    sys.modules.setdefault("einx", ex)
+
+    tsla = types.ModuleType("taylor_series_linear_attention")
+    tsla.TaylorSeriesLinearAttn = _TaylorSeriesLinearAttn
+    sys.modules.setdefault("taylor_series_linear_attention", tsla)
 
     ts = types.ModuleType("torch_scatter")
     ts.scatter = scatter
