@@ -34,6 +34,55 @@ def download_url(url: str, output_path: str):
     return output_path
 
 
+def download_gdrive_folder(
+    folder_id: str,
+    output_dir: str,
+    base_url: str = "https://drive.google.com",
+) -> list[str]:
+    """First-party `gdown.download_folder` equivalent (gdown is not in this
+    image; `reference equihgnn/data/molecule3d.py:92` depends on it).
+
+    Contract it implements (gdown's folder-page parse):
+      * ``GET {base}/drive/folders/{id}`` returns HTML embedding
+        ``window['_DRIVE_ivd'] = '<escaped JSON>'``; the decoded JSON's first
+        element is a list of entries ``[file_id, _, name, mime, ...]``.
+      * each file streams from ``{base}/uc?id={fid}&export=download&confirm=t``
+        (the confirm flag skips the large-file virus-scan interstitial).
+
+    ``base_url`` is overridable (EQUIHGNN_GDRIVE_BASE) so tests can serve the
+    format from a loopback server; Google can change the page format at any
+    time, so callers keep a manual-staging fallback.
+    """
+    import json
+    import re
+    import urllib.parse
+
+    os.makedirs(output_dir, exist_ok=True)
+    url = f"{base_url}/drive/folders/{folder_id}"
+    print(f"Listing Google-Drive folder {url}...")
+    with urllib.request.urlopen(url) as r:
+        html = r.read().decode("utf-8", "replace")
+    m = re.search(r"window\['_DRIVE_ivd'\]\s*=\s*'((?:[^'\\]|\\.)*)'", html)
+    if m is None:
+        raise OSError(
+            f"no _DRIVE_ivd payload in folder page {url} — the Drive page "
+            f"format changed; stage the raw files manually"
+        )
+    data = json.loads(m.group(1).encode().decode("unicode_escape"))
+    entries = data[0] or []
+    paths = []
+    for e in entries:
+        fid, name = str(e[0]), str(e[2])
+        if not name or os.sep in name or name.startswith("."):
+            raise OSError(f"suspicious file name in Drive folder: {name!r}")
+        file_url = (
+            f"{base_url}/uc?id={urllib.parse.quote(fid)}"
+            f"&export=download&confirm=t"
+        )
+        paths.append(download_url(file_url, os.path.join(output_dir, name)))
+    return paths
+
+
 def extract_zip(path: str, folder: str):
     with zipfile.ZipFile(path, "r") as z:
         z.extractall(folder)

@@ -2,9 +2,11 @@
 
 Re-design of `reference equihgnn/data/molecule3d.py:16-260`. Raw data is a
 Google-Drive folder (4 combined SDF shards + properties.csv + split-index
-JSONs); downloading requires `gdown`, which this environment does not have —
-stage the raw files manually in offline setups. SDF parsing uses
-sanitize=True (reference `molecule3d.py:141,205`).
+JSONs), fetched by the first-party `download_gdrive_folder` (gdown is not in
+this image) with the reference's exact post-download choreography
+(extract data.zip at the root, move data/raw/* into raw_dir). Drive page
+formats drift, so staging the raw files manually also works. SDF parsing
+uses sanitize=True (reference `molecule3d.py:141,205`).
 """
 
 from __future__ import annotations
@@ -45,21 +47,47 @@ class MoleculeBase(MolDataset):
         return osp.join(self.root, "raw")
 
     def _download_raw(self):
+        """Replicates `reference equihgnn/data/molecule3d.py:88-110`:
+        fetch the Drive folder (one data.zip), extract at the dataset root,
+        move `<root>/data/raw/*` into raw_dir, drop the zip + __MACOSX."""
+        import os
+        import shutil
+
+        from equihgnn_tpu.data.datasets.download import (
+            download_gdrive_folder,
+            extract_zip,
+        )
+
         missing = [
             f for f in SDF_SHARDS + ["properties.csv"]
             if not osp.exists(osp.join(self.raw_dir, f))
         ]
         if not missing:
             return
+        base = os.environ.get(
+            "EQUIHGNN_GDRIVE_BASE", "https://drive.google.com"
+        )
         try:
-            import gdown  # pragma: no cover - optional dependency
-        except ImportError as e:
-            raise ImportError(
-                f"Molecule3D raw files missing ({missing[:2]}...) and gdown is "
-                f"not installed. Download the Google-Drive folder id "
+            download_gdrive_folder(GDRIVE_ID, self.raw_dir, base_url=base)
+        except OSError as e:
+            raise OSError(
+                f"Molecule3D raw files missing ({missing[:2]}...) and the "
+                f"Google-Drive folder fetch failed ({e}). Download folder id "
                 f"{GDRIVE_ID} manually into {self.raw_dir}."
             ) from e
-        gdown.download_folder(id=GDRIVE_ID, output=self.raw_dir)
+        file_path = osp.join(self.raw_dir, "data.zip")
+        extract_zip(file_path, self.root)
+        os.unlink(file_path)
+        unzipped = osp.join(self.root, "data", "raw")
+        print(f"Move data from {unzipped} to {self.raw_dir}")
+        for item in os.listdir(unzipped):
+            shutil.move(
+                osp.join(unzipped, item), osp.join(self.raw_dir, item)
+            )
+        shutil.rmtree(osp.dirname(unzipped))
+        macosx = osp.join(self.root, "__MACOSX")
+        if osp.exists(macosx):
+            shutil.rmtree(macosx)
 
     def _iter_mols(self):
         import pandas as pd

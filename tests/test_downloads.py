@@ -14,6 +14,11 @@ fetch, extract, and featurize them end to end:
            non-null gap_extrapolated.
   * PCQM — pcqm4m-v2.zip (member pcqm4m-v2/raw/data.csv.gz) + the Stanford
            train-SDF tarball (`reference equihgnn/data/pcqm4.py:16-54`).
+  * Molecule3D — a Google-Drive folder page (window['_DRIVE_ivd'] payload)
+           listing data.zip, whose members live under data/raw/ exactly as
+           the real archive (`reference equihgnn/data/molecule3d.py:88-110`);
+           exercises the first-party download_gdrive_folder + the
+           reference's extract/move/cleanup choreography.
 
 The first-party SDF/molblock reader stands in for RDKit's suppliers, as in
 tests/test_real_molecules.py.
@@ -222,3 +227,92 @@ def test_pcqm_download_bodies(server, tmp_path, monkeypatch):
     assert not os.path.exists(tmp_path / "pcqm4m-v2.zip")
     # double registration: pcqm_hg_3d resolves to the same class
     assert registry.get_data_class("pcqm_hg_3d") is type(ds)
+
+
+def test_molecule3d_download_bodies(tmp_path, monkeypatch):
+    import json
+
+    import equihgnn_tpu.data.datasets.molecule3d as molmod
+
+    blocks = _molblocks()
+    # 4 SDF shards of 5 molecules each (the real archive's member layout
+    # under data/raw/), properties.csv with the 7 target columns, split JSONs
+    members = {}
+    for k, shard in enumerate(molmod.SDF_SHARDS):
+        members[shard] = (
+            "$$$$\n".join(blocks[5 * k : 5 * (k + 1)]) + "\n$$$$\n"
+        )
+    members["properties.csv"] = pd.DataFrame(
+        {c: np.arange(N_MOLS, dtype=np.float32) + 100 * k
+         for k, c in enumerate(molmod.TARGET_COLUMNS)}
+    ).to_csv(index=False)
+    for name in ("random_split_inds.json", "scaffold_split_inds.json",
+                 "random_test_split_inds.json",
+                 "scaffold_test_split_inds.json"):
+        members[name] = json.dumps(list(range(N_MOLS)))
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        for name, text in members.items():
+            z.writestr(f"data/raw/{name}", text)
+        z.writestr("__MACOSX/data/._junk", "")
+    zip_bytes = zbuf.getvalue()
+
+    folder_payload = json.dumps(
+        [[["zipfile123", None, "data.zip", "application/zip"]]]
+    )
+    folder_html = (
+        "<html><script>window['_DRIVE_ivd'] = '"
+        + folder_payload.replace('"', '\\"')
+        + "';</script></html>"
+    )
+
+    served: list[str] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            served.append(self.path)
+            if self.path.startswith(f"/drive/folders/{molmod.GDRIVE_ID}"):
+                body, ctype = folder_html.encode(), "text/html"
+            elif self.path.startswith("/uc?id=zipfile123"):
+                body, ctype = zip_bytes, "application/zip"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv(
+            "EQUIHGNN_GDRIVE_BASE",
+            f"http://127.0.0.1:{httpd.server_address[1]}",
+        )
+        monkeypatch.setattr(molmod, "_require_rdkit", lambda: _Shim)
+        ds = registry.get_data_class("molecule_hg_3d")(root=str(tmp_path))
+    finally:
+        httpd.shutdown()
+
+    assert len(ds.samples) == N_MOLS
+    assert ds.samples[0].pos is not None
+    np.testing.assert_allclose(
+        ds.samples[1].y,
+        np.arange(7, dtype=np.float32) * 100 + 1,
+        rtol=1e-6,
+    )
+    # folder page + one file fetch; reference choreography applied:
+    # data.zip consumed, raws moved up, data/ and __MACOSX/ removed
+    assert [p.split("?")[0] for p in served] == [
+        f"/drive/folders/{molmod.GDRIVE_ID}", "/uc",
+    ]
+    for f in molmod.SDF_SHARDS + ["properties.csv", "random_split_inds.json"]:
+        assert os.path.exists(tmp_path / "raw" / f)
+    assert not os.path.exists(tmp_path / "raw" / "data.zip")
+    assert not os.path.exists(tmp_path / "data")
+    assert not os.path.exists(tmp_path / "__MACOSX")
