@@ -220,6 +220,11 @@ def _probe_backend(timeout_s: int = PROBE_TIMEOUT_S) -> tuple[bool, str]:
     return True, r.stdout.strip()
 
 
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
+)
+
+
 def _diagnostic_line(error: str) -> dict:
     """Contract JSON when no fresh measurement is possible: last good
     recorded value, explicitly marked stale."""
@@ -232,7 +237,7 @@ def _diagnostic_line(error: str) -> dict:
         "error": error,
     }
     try:
-        with open("BENCH_LAST_GOOD.json") as f:
+        with open(LAST_GOOD_PATH) as f:
             last = json.load(f)
         line["value"] = last.get("value")
         line["vs_baseline"] = last.get("vs_baseline")
@@ -293,7 +298,7 @@ def main():
                 parsed_rec["recorded_at"] = datetime.datetime.now(
                     datetime.timezone.utc
                 ).isoformat(timespec="seconds")
-                with open("BENCH_LAST_GOOD.json", "w") as f:
+                with open(LAST_GOOD_PATH, "w") as f:
                     json.dump(parsed_rec, f, indent=2)
             print(json.dumps(parsed))
             return

@@ -1,0 +1,235 @@
+"""Learning-trajectory parity: our Equiformer/SE3 hybrids vs the ACTUAL
+PyTorch reference, trained side by side (VERDICT round-2 #3).
+
+The two heaviest encoders are documented redesigns (direct CG×SH tensor
+products instead of the reference's z-axis-alignment basis, per-molecule
+instead of batch-point-cloud kNN — DECISIONS.md #12), so bit-level goldens
+cannot bind them. What CAN bind them is learning behavior: train both
+frameworks on the SAME molecules, SAME learnable target, SAME recipe
+(batch size 1 — where per-molecule and whole-batch kNN semantics coincide —
+torch-semantics Adam, same lr/epochs), and require the val-MAE trajectories
+to land together and far below the predict-the-mean baseline.
+
+Reference side: `equihgnn/models/equihnn_equiformer.py:12-93` /
+`equihnn_se3_transformer.py` run under CPU torch with shims.py +
+jdense.py (first-party J matrices). Our side: the registered JAX models.
+
+    python scripts/ref_capture/learning_parity.py [--method both]
+        [--epochs 12] [--n-train 96] [--n-val 32]
+
+Writes LEARNING_PARITY.json at the repo root;
+tests/test_learning_parity.py asserts the committed criteria.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(__file__), "..", "..")
+sys.path.insert(0, os.path.abspath(REPO))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.abspath(os.path.join(REPO, "scripts")))
+
+from learning_check import learnable_target  # noqa: E402
+
+
+def make_data(n_train: int, n_val: int):
+    from equihgnn_tpu.data.synthetic import make_synthetic_dataset
+
+    samples = make_synthetic_dataset(n_train + n_val, seed=5, max_atoms=12)
+    ys = np.array([learnable_target(s) for s in samples], np.float64)
+    for s, y in zip(samples, ys):
+        s.y = np.float32(y)
+    train, val = samples[:n_train], samples[n_train:]
+    mean = float(np.mean(ys[:n_train]))
+    std = float(np.std(ys[:n_train]) + 1e-8)
+    base_mae = float(np.mean(np.abs(ys[n_train:] - mean)))
+    return train, val, mean, std, base_mae
+
+
+# ---------------------------------------------------------------- torch side
+def run_reference(method: str, train, val, mean, std, epochs: int, lr: float,
+                  batch_size: int = 1):
+    import shims
+
+    shims.install()
+    import jdense
+
+    jdense.install()
+    import torch
+
+    from capture_core import Args, RefData, collate_reference_batch
+
+    torch.set_num_threads(1)
+    torch.manual_seed(11)
+    if method == "equiformer_equihnns":
+        from equihgnn.models.equihnn_equiformer import EquiformerEquiHNNS
+
+        model = EquiformerEquiHNNS(1, Args())
+    elif method == "se3_transformer_equihnns":
+        from equihgnn.models.equihnn_se3_transformer import (
+            SE3TransformerEquiHNNS,
+        )
+
+        model = SE3TransformerEquiHNNS(1, Args())
+    else:
+        from equihgnn.models.equihnn_fa_former import FAFormerEquiHNNS
+
+        model = FAFormerEquiHNNS(1, Args())
+
+    def to_batch(group):
+        d = collate_reference_batch(group)
+        data = RefData(d)
+        data.pos = torch.from_numpy(
+            np.concatenate([np.asarray(s.pos, np.float32) for s in group])
+        )
+        data.y = torch.tensor(
+            [(float(s.y) - mean) / std for s in group], dtype=torch.float32
+        )
+        return data
+
+    def chunks(seq):
+        return [
+            seq[i : i + batch_size] for i in range(0, len(seq), batch_size)
+        ]
+
+    train_b = [to_batch(g) for g in chunks(train)]
+    val_b = [to_batch(g) for g in chunks(val)]
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    hist = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        model.train()
+        losses = []
+        for b in train_b:
+            opt.zero_grad()
+            out = model(b)
+            loss = torch.mean((out - b.y) ** 2)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        model.eval()
+        with torch.no_grad():
+            errs = []
+            for b in val_b:
+                out = model(b).view(-1)
+                errs.extend((std * (out - b.y).abs()).tolist())
+        hist.append(
+            {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)),
+                "val_mae": float(np.mean(errs)),
+                "sec": round(time.time() - t0, 1),
+            }
+        )
+        print(f"  [ref {method}] {hist[-1]}", flush=True)
+    return hist
+
+
+# ------------------------------------------------------------------ JAX side
+def run_ours(method: str, train, val, mean, std, epochs: int, lr: float,
+             batch_size: int = 1):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from equihgnn_tpu import create_model
+    from equihgnn_tpu.data.batching import iter_batches, spec_for_samples
+    from equihgnn_tpu.models.config import ModelConfig
+    from equihgnn_tpu.train.trainer import TrainConfig, Trainer
+
+    for s in train + val:
+        s.y = np.float32((float(s.y) - mean) / std)
+    spec = spec_for_samples(train + val, batch_size=batch_size)
+    model = create_model(method, num_target=1, cfg=ModelConfig())
+    example = next(iter(iter_batches(train, spec, with_pos=True)))
+    cfg = TrainConfig(epochs=epochs, lr=lr, seed=11, num_bootstraps=0)
+    trainer = Trainer(model, cfg, example, std=std)
+
+    hist = []
+    rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
+    for epoch in range(epochs):
+        t0 = time.time()
+        rng, k = jax.random.split(rng)
+        train_loss = trainer.train_epoch(
+            iter_batches(train, spec, with_pos=True), lr, k
+        )
+        acc = trainer.eval_epoch(iter_batches(val, spec, with_pos=True))
+        preds, targets = acc.arrays()
+        val_mae = float(np.mean(np.abs(preds - targets))) * 1.0
+        hist.append(
+            {
+                "epoch": epoch,
+                "train_loss": float(train_loss),
+                "val_mae": val_mae,
+                "sec": round(time.time() - t0, 1),
+            }
+        )
+        print(f"  [jax {method}] {hist[-1]}", flush=True)
+    return hist
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="both",
+                    choices=["both", "equiformer_equihnns",
+                             "se3_transformer_equihnns",
+                             "faformer_equihnns"])
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n-train", type=int, default=96)
+    ap.add_argument("--n-val", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    # batch_size > 1 makes the reference's whole-batch point cloud and our
+    # per-molecule semantics DIFFER (documented deviation, PARITY.md) — the
+    # faformer multi-molecule run quantifies that deviation's MAE impact.
+    ap.add_argument("--batch-size", type=int, default=1)
+    args = ap.parse_args()
+
+    methods = (
+        ["equiformer_equihnns", "se3_transformer_equihnns"]
+        if args.method == "both"
+        else [args.method]
+    )
+    out_path = os.path.join(os.path.abspath(REPO), "LEARNING_PARITY.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    for method in methods:
+        train, val, mean, std, base_mae = make_data(args.n_train, args.n_val)
+        print(f"== {method}: baseline (predict-mean) val MAE {base_mae:.4f}")
+        ours = run_ours(method, train, val, mean, std, args.epochs, args.lr,
+                        args.batch_size)
+        # regenerate samples: run_ours normalized y in place
+        train, val, mean, std, base_mae = make_data(args.n_train, args.n_val)
+        ref = run_reference(method, train, val, mean, std, args.epochs,
+                            args.lr, args.batch_size)
+        key = (method if args.batch_size == 1
+               else f"{method}@b{args.batch_size}")
+        results[key] = {
+            "recipe": {
+                "n_train": args.n_train, "n_val": args.n_val,
+                "epochs": args.epochs, "lr": args.lr,
+                "batch_size": args.batch_size,
+                "optimizer": "adam(torch semantics)",
+            },
+            "baseline_val_mae": base_mae,
+            "reference": ref,
+            "ours": ours,
+            "final_ref_val_mae": ref[-1]["val_mae"],
+            "final_ours_val_mae": ours[-1]["val_mae"],
+        }
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} [{method}]")
+
+
+if __name__ == "__main__":
+    main()
