@@ -37,6 +37,14 @@ def main():
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices()[0])
+    # f32 checks run under HIGHEST matmul precision: at the TPU default,
+    # kernel and XLA reference each independently round their MXU passes to
+    # bf16, producing equally-accurate results ~3e-3 apart (both are ~3e-7
+    # from a float64 oracle under HIGHEST — measured 2026-08-18). Highest
+    # precision removes that rounding so the comparison isolates Mosaic
+    # lowering correctness; the bf16 checks below keep the realistic mode.
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
     oks = []
 
     # ---------------------------------------------------------- pooled_m
@@ -63,7 +71,10 @@ def main():
 
     hb = h.astype(jnp.bfloat16)
     tb = tc.astype(jnp.bfloat16)
-    outb = jax.jit(pooled_m)(hb, tb)
+    # bf16 inputs must run at DEFAULT precision: Mosaic rejects a bf16×bf16
+    # tpu.matmul carrying contract_precision=fp32 ("Bad lhs type").
+    with jax.default_matmul_precision("default"):
+        outb = jax.jit(pooled_m)(hb, tb)
     assert outb.dtype == jnp.bfloat16  # emitted in input dtype
     oks.append(
         check("pooled_m bf16 fwd", outb.astype(jnp.float32), pm_ref(hb, tb),
