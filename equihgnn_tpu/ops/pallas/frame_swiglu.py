@@ -163,15 +163,19 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, ls_ref, lb_ref, seed_ref, dout_ref,
 
         db1_acc = db1_acc + jnp.sum(dpre, axis=0, keepdims=True)
         # signs applied as static scalar multiplies on slices: Pallas kernels
-        # may not capture array constants, and (sx, sy, sz) are Python floats
+        # may not capture array constants, and (sx, sy, sz) are Python floats.
+        # When c == 3 there is no frame-invariant tail; Mosaic rejects the
+        # zero-size m[3:] / g[:, 3:] slices, so the tail is gated statically.
         m = jnp.dot(x.T, dpre, preferred_element_type=jnp.float32)  # [C, H]
-        dw1_acc = dw1_acc + jnp.concatenate(
-            [sx * m[0:1], sy * m[1:2], sz * m[2:3], m[3:]], axis=0
-        )
+        m_parts = [sx * m[0:1], sy * m[1:2], sz * m[2:3]]
+        if c > 3:
+            m_parts.append(m[3:])
+        dw1_acc = dw1_acc + jnp.concatenate(m_parts, axis=0)
         g = jnp.dot(dpre, w1.T, preferred_element_type=jnp.float32)  # [t, C]
-        dx = dx + jnp.concatenate(
-            [sx * g[:, 0:1], sy * g[:, 1:2], sz * g[:, 2:3], g[:, 3:]], axis=1
-        )
+        g_parts = [sx * g[:, 0:1], sy * g[:, 1:2], sz * g[:, 2:3]]
+        if c > 3:
+            g_parts.append(g[:, 3:])
+        dx = dx + jnp.concatenate(g_parts, axis=1)
 
     dx_ref[...] = dx
     dw1_ref[...] = dw1_ref[...] + dw1_acc

@@ -121,6 +121,22 @@ def main():
     for nm, a_, b_ in zip(("dx", "dw1", "db1", "dls", "dlb"), gk, gr):
         oks.append(check(f"frame_swiglu grad {nm}", a_, b_))
 
+    # C == 3 (no frame-invariant tail — FAFormer's coord MLP shape): the
+    # backward must not emit zero-size m[3:]/g[:, 3:] slices under Mosaic
+    x3 = xx[:, :3]
+    w3 = w1[:3]
+    a3 = (x3, w3, b1, ls, lb)
+    oks.append(
+        check("frame_swiglu c=3 fwd", jax.jit(fused_frame_swiglu)(*a3),
+              fs_ref(*a3))
+    )
+    gk3 = jax.jit(jax.grad(lambda *a: l2(fused_frame_swiglu, *a),
+                           argnums=(0, 1)))(*a3)
+    gr3 = jax.jit(jax.grad(lambda *a: l2(fs_ref, *a),
+                           argnums=(0, 1)))(*a3)
+    for nm, a_, b_ in zip(("dx", "dw1"), gk3, gr3):
+        oks.append(check(f"frame_swiglu c=3 grad {nm}", a_, b_))
+
     # dropout determinism (TPU-only path): same seed → same output; the
     # backward regenerates the identical mask (grad nonzero iff kept)
     if jax.default_backend() == "tpu":
