@@ -327,14 +327,23 @@ def _child_main():
     )
     results = {}
     for m in methods:
-        r = bench_method(m)
+        # one method failing (e.g. a compile-time HBM OOM) must not lose the
+        # other methods' rows or the flagship contract line (round-3 --all
+        # died wholesale on an SE3-fp32 OOM before this isolation)
+        try:
+            r = bench_method(m)
+        except Exception as e:  # noqa: BLE001
+            r = {"method": m, "error": f"{type(e).__name__}: {e}"[:300]}
         results[m] = r
         print(json.dumps(r), file=sys.stderr)
         if run_all:
             # bfloat16 is the canonical TPU compute dtype (VERDICT round-1
             # #3); the suite records it as the perf-primary entry next to
             # the fp32 reference-parity number.
-            rb = bench_method(m, dtype="bfloat16")
+            try:
+                rb = bench_method(m, dtype="bfloat16")
+            except Exception as e:  # noqa: BLE001
+                rb = {"method": m, "error": f"{type(e).__name__}: {e}"[:300]}
             results[m]["bf16"] = {
                 k: rb[k] for k in rb if k not in ("method",)
             }

@@ -232,7 +232,18 @@ class _ConvSE3Pair(nn.Module):
                 tc = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
                 tsum = jnp.sum(tc, axis=2)  # [G, A, c, i]
                 c_, i_ = tc.shape[-2:]
-                if s == 1 and pooled_m_supported(k_, c_ * i_, f):
+                # bf16 only: in f32 the kernel's explicit [G,A,c·i,f] M
+                # output (~6 GB at fiber 256) tipped the step 170 MB past
+                # the 15.75 GB v5e HBM at compile time (bench --all OOM,
+                # round 3); the XLA einsum path fits and f32 saw no win
+                # from the kernel anyway (the 2.9 TF/s lowering it fixes
+                # is the bf16 one).
+                use_kernel = (
+                    s == 1
+                    and h.dtype != jnp.float32
+                    and pooled_m_supported(k_, c_ * i_, f)
+                )
+                if use_kernel:
                     # K=16 contraction in VMEM (ops/pallas/pooled_m.py):
                     # XLA's batched-small-matmul lowering of the M einsum ran
                     # at ~2.9 TF/s; the kernel emits M in the projection's
