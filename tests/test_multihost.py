@@ -30,6 +30,10 @@ def test_two_process_cluster_psum_step():
     for pid in range(2):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
+        # The package is not necessarily pip-installed; the workers must be
+        # able to import equihgnn_tpu regardless of the invoking shell.
+        repo_root = str(Path(__file__).resolve().parent.parent)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         env.update(
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
