@@ -332,6 +332,7 @@ def _child_main():
         # died wholesale on an SE3-fp32 OOM before this isolation)
         try:
             r = bench_method(m)
+            r.setdefault("error", None)
         except Exception as e:  # noqa: BLE001
             r = {"method": m, "error": f"{type(e).__name__}: {e}"[:300]}
         results[m] = r
@@ -339,9 +340,13 @@ def _child_main():
         if run_all:
             # bfloat16 is the canonical TPU compute dtype (VERDICT round-1
             # #3); the suite records it as the perf-primary entry next to
-            # the fp32 reference-parity number.
+            # the fp32 reference-parity number. Row schema (ADVICE round-3
+            # #3): every row and bf16 sub-row carries an "error" key —
+            # null on success, the diagnostic string on failure — so table
+            # readers can branch on it instead of KeyError-ing.
             try:
                 rb = bench_method(m, dtype="bfloat16")
+                rb.setdefault("error", None)
             except Exception as e:  # noqa: BLE001
                 rb = {"method": m, "error": f"{type(e).__name__}: {e}"[:300]}
             results[m]["bf16"] = {
@@ -355,6 +360,16 @@ def _child_main():
         with open("BENCH_ENCODERS.json", "w") as f:
             json.dump(results, f, indent=2)
 
+    # A failed flagship must not crash the child AFTER the suite ran (the
+    # parent would burn its full retry budget on a deterministic failure):
+    # exit nonzero with a clear message; the parent's stale-fallback line
+    # then carries the diagnostic (ADVICE round-3 #1).
+    if "molecules_per_sec_per_chip" not in results["egnn_equihnns"]:
+        print(
+            f"[bench] flagship failed: {results['egnn_equihnns']}",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     flagship = results["egnn_equihnns"]["molecules_per_sec_per_chip"]
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):

@@ -232,15 +232,15 @@ class _ConvSE3Pair(nn.Module):
                 tc = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
                 tsum = jnp.sum(tc, axis=2)  # [G, A, c, i]
                 c_, i_ = tc.shape[-2:]
-                # bf16 only: in f32 the kernel's explicit [G,A,c·i,f] M
-                # output (~6 GB at fiber 256) tipped the step 170 MB past
-                # the 15.75 GB v5e HBM at compile time (bench --all OOM,
-                # round 3); the XLA einsum path fits and f32 saw no win
-                # from the kernel anyway (the 2.9 TF/s lowering it fixes
-                # is the bf16 one).
+                # sub-f32 only: at f32 (or wider) the kernel's explicit
+                # [G,A,c·i,f] M output (~6 GB at fiber 256) tipped the step
+                # 170 MB past the 15.75 GB v5e HBM at compile time
+                # (bench --all OOM, round 3); the XLA einsum path fits and
+                # f32 saw no win from the kernel anyway (the 2.9 TF/s
+                # lowering it fixes is the bf16 one).
                 use_kernel = (
                     s == 1
-                    and h.dtype != jnp.float32
+                    and jnp.dtype(h.dtype).itemsize < 4
                     and pooled_m_supported(k_, c_ * i_, f)
                 )
                 if use_kernel:
