@@ -44,6 +44,34 @@ if os.environ.get("EQUIHGNN_BENCH_SMOKE"):
 # TPU v5e ("v5 lite"): 197 TFLOP/s bf16 / 98.5 TFLOP/s fp32-via-bf16x3.
 # XLA's cost analysis reports algebraic flops; we rate against bf16 peak.
 PEAK_FLOPS = 197e12
+A100_PEAK = 312e12  # bf16 dense — charitable: the reference runs TF32 (156)
+A100_MFU_BAND = (("lo", 0.15), ("hi", 0.40))
+
+REF_FLOPS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "REFERENCE_FLOPS.json"
+)
+
+
+def _ref_impl_anchor(method: str) -> dict:
+    """A100 molecules/sec band for the REFERENCE implementation (VERDICT
+    round-3 missing #1a): its own measured matmul FLOPs per step
+    (scripts/ref_capture/ref_flops.py, torch FlopCounterMode on the actual
+    reference graph — an undercount that favors the reference), rated at a
+    generous 15-40% achievable-MFU band on A100 bf16 peak. The reference
+    actually runs TF32 (`reference main.py:18`), whose peak is half."""
+    try:
+        with open(REF_FLOPS_PATH) as f:
+            ref = json.load(f).get(method)
+        flops = float(ref["flops_per_step_b768"])
+    except Exception:
+        return {}
+    out = {"ref_impl_tflops_per_step": round(flops / 1e12, 4)}
+    for label, mfu in A100_MFU_BAND:
+        est_step_s = flops / (A100_PEAK * mfu)
+        out[f"a100_ref_impl_est_{label}_mols_per_sec"] = round(
+            768 / est_step_s, 1
+        )
+    return out
 
 
 def _make_batches(pack_slots: bool):
@@ -335,6 +363,13 @@ def _child_main():
             r.setdefault("error", None)
         except Exception as e:  # noqa: BLE001
             r = {"method": m, "error": f"{type(e).__name__}: {e}"[:300]}
+        anchor = _ref_impl_anchor(m)
+        r.update(anchor)
+        if anchor and "molecules_per_sec_per_chip" in r:
+            r["vs_a100_ref_impl"] = round(
+                r["molecules_per_sec_per_chip"]
+                / anchor["a100_ref_impl_est_hi_mols_per_sec"], 3,
+            )
         results[m] = r
         print(json.dumps(r), file=sys.stderr)
         if run_all:
@@ -394,12 +429,19 @@ def _child_main():
     tflops = results["egnn_equihnns"].get("tflops_per_step")
     step_ms = results["egnn_equihnns"].get("step_time_ms")
     if tflops and step_ms:
-        a100_peak = 312e12
-        for label, mfu in (("hi", 0.40), ("lo", 0.15)):
-            est_step = tflops * 1e12 / (a100_peak * mfu)
+        for label, mfu in A100_MFU_BAND:
+            est_step = tflops * 1e12 / (A100_PEAK * mfu)
             line[f"a100_est_{label}_mols_per_sec"] = round(BATCH / est_step, 1)
         line["vs_a100_estimate_hi_mfu"] = round(
             flagship / line["a100_est_hi_mols_per_sec"], 2
+        )
+    # Anchor against the REFERENCE implementation's own FLOPs (what a user
+    # would really run on an A100), not our factorized graph's FLOPs.
+    anchor = _ref_impl_anchor("egnn_equihnns")
+    if anchor:
+        line.update(anchor)
+        line["vs_a100_ref_impl"] = round(
+            flagship / anchor["a100_ref_impl_est_hi_mols_per_sec"], 3
         )
     print(json.dumps(line))
 

@@ -43,6 +43,7 @@ class EquiformerEquiHNNS(nn.Module):
             valid_radius=5.0,
             num_neighbors=16,
             attend_self=True,
+            dtype=cfg.compute_dtype,
             name="equiformer_layer",
         )(
             x,

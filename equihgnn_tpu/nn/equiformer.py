@@ -82,7 +82,9 @@ class FiberLinear(nn.Module):
                 else nn.initializers.normal(stddev=1.0 / sqrt(dim_in))
             )
             w = self.param(f"w{degree}", init, (dim_in, dim_out))
-            out[degree] = jnp.einsum("...dm,de->...em", x[degree], w)
+            out[degree] = jnp.einsum(
+                "...dm,de->...em", x[degree], w.astype(x[degree].dtype)
+            )
         return out
 
 
@@ -98,9 +100,13 @@ class FiberNorm(nn.Module):
         for degree, dim in enumerate(self.fiber):
             scale = self.param(f"scale{degree}", nn.initializers.ones, (dim, 1))
             t = x[degree]
-            l2 = safe_norm(t, axis=-1, keepdims=True)
+            # norm statistics in f32 for sub-f32 compute dtypes
+            tf = t.astype(jnp.float32)
+            l2 = safe_norm(tf, axis=-1, keepdims=True)
             rms = safe_norm(l2, axis=-2, keepdims=True) * (dim**-0.5)
-            out[degree] = t / jnp.maximum(rms, self.eps) * scale
+            out[degree] = (tf / jnp.maximum(rms, self.eps) * scale).astype(
+                t.dtype
+            )
         return out
 
 
@@ -134,11 +140,12 @@ class RadialTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, edge_feat):
+        dt = edge_feat.dtype  # LN promotes to f32 params; cast back
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_bias=False, name=name)
         h = TorchLinear(self.hidden, name="lin0")(edge_feat)
-        h = ln("ln0")(nn.silu(h))
+        h = ln("ln0")(nn.silu(h)).astype(dt)
         h = TorchLinear(self.hidden, name="lin1")(h)
-        h = ln("ln1")(nn.silu(h))
+        h = ln("ln1")(nn.silu(h)).astype(dt)
         return h
 
 
@@ -208,9 +215,10 @@ class DTP(nn.Module):
         else:
             xi = xj = inp
 
+        cdt = rel_dist.dtype  # compute dtype flows in via the cast inputs
         cnt = jnp.maximum(
             jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
-        )[..., None, None]  # [G, A, 1, 1]
+        )[..., None, None].astype(cdt)  # [G, A, 1, 1]
 
         outputs = {}
         for dout, dim_out in enumerate(self.fiber_out):
@@ -230,10 +238,18 @@ class DTP(nn.Module):
                     )  # [G, A, k, dim_in, 2din+1]
                     if self.project_xi_xj:
                         x = x + xi[din][:, :, None]
+                    # NOTE (round-4 A/B, real v5e): a din==0 restructure that
+                    # folds CG×SH into a per-edge vector (t = x ⊗ wsh outer
+                    # product, avoiding the [G,A,k,i,c] temp) was measured
+                    # SLOWER end-to-end in bf16 — 85.6 ms as one XLA einsum
+                    # and 100.1 ms through the pooled-M Pallas kernel, vs
+                    # 79.1 ms for this direct form. XLA fuses the t build
+                    # into the M contraction here; the "750 MB temp" in the
+                    # trace is fusion-internal, not a real HBM round-trip.
                     # Σ_J CG contraction with spherical harmonics
                     t = None
                     for J in js:
-                        Q = jnp.asarray(_cg(din, J, dout))  # [2din+1,2J+1,2dout+1]
+                        Q = jnp.asarray(_cg(din, J, dout), dtype=x.dtype)
                         term = jnp.einsum("amc,...ia,...m->...ic", Q, x, sh[J])
                         t = term if t is None else t + term
                     t = jnp.where(inc_mask, t, 0.0)
@@ -241,8 +257,8 @@ class DTP(nn.Module):
                     M = jnp.einsum("gakf,gakic->gafic", h, t)
                     tbar = jnp.sum(t, axis=2)  # [G, A, i, c]
                     out = (
-                        jnp.einsum("foi,gafic->gaoc", W, M)
-                        + jnp.einsum("oi,gaic->gaoc", b, tbar)
+                        jnp.einsum("foi,gafic->gaoc", W.astype(cdt), M)
+                        + jnp.einsum("oi,gaic->gaoc", b.astype(cdt), tbar)
                     ) / cnt
                 else:
                     # node-side: u = W_aug·x (bias folded as an extra radial
@@ -251,7 +267,9 @@ class DTP(nn.Module):
                     h_aug = jnp.concatenate(
                         [h, nbr_mask[..., None].astype(h.dtype)], -1
                     )
-                    W_aug = jnp.concatenate([W, b[None]], axis=0)  # [f+1,o,i]
+                    W_aug = jnp.concatenate([W, b[None]], axis=0).astype(
+                        cdt
+                    )  # [f+1,o,i]
                     u_j = jnp.einsum("foi,gjib->gjfob", W_aug, xj[din])
                     onehot = (
                         (nbr_idx[..., None]
@@ -270,7 +288,7 @@ class DTP(nn.Module):
                         v = v + jnp.einsum("gakf,gafob->gakob", h_aug, u_i)
                     out = None
                     for J in js:
-                        Q = jnp.asarray(_cg(din, J, dout))
+                        Q = jnp.asarray(_cg(din, J, dout), dtype=v.dtype)
                         term = jnp.einsum("bmc,gakob,gakm->gakoc", Q, v, sh[J])
                         out = term if out is None else out + term
                 chunks.append(out)
@@ -549,6 +567,7 @@ class Equiformer(nn.Module):
     ff_include_htype_norms: bool = False
     gate_attn_head_outputs: bool = True
     l2_dist_attention: bool = False  # reference default True; model config False
+    dtype: str | None = None  # e.g. "bfloat16": compute dtype (params f32)
 
     @nn.compact
     def __call__(
@@ -583,6 +602,12 @@ class Equiformer(nn.Module):
         rel_dist = jnp.where(nbr_mask, jnp.sqrt(jnp.maximum(sqd, 0.0)), 0.0)[..., None]
         max_j = 2 * (num_degrees - 1)  # highest CG path between max degrees
         sh = spherical_harmonics(max_j, rel_pos)
+        if self.dtype is not None:
+            # geometry (knn/SH) stays f32; activations run in compute dtype
+            dt = jnp.dtype(self.dtype)
+            fd = fd.astype(dt)
+            rel_dist = rel_dist.astype(dt)
+            sh = [t.astype(dt) for t in sh]
 
         x = {0: fd[..., None]}  # [G, A, d, 1]
         x = DTP(

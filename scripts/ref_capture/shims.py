@@ -44,10 +44,18 @@ def scatter(src, index, dim=-1, out=None, dim_size=None, reduce="sum"):
     size = int(dim_size) if dim_size is not None else int(index.max().item()) + 1
     shape = list(src.shape)
     shape[dim] = size
-    idx = index
-    for _ in range(src.dim() - index.dim()):
-        idx = idx.unsqueeze(-1)
-    idx = idx.expand_as(src)
+    if index.dim() == 1:
+        # torch_scatter broadcasting: 1-D index aligns with `dim` and
+        # broadcasts across all other axes (incl. leading batch dims —
+        # equiformer_equihnns keeps type0's [1, N, C] through the trunk)
+        view = [1] * src.dim()
+        view[dim] = -1
+        idx = index.reshape(view).expand_as(src)
+    else:
+        idx = index
+        for _ in range(src.dim() - index.dim()):
+            idx = idx.unsqueeze(-1)
+        idx = idx.expand_as(src)
     if reduce in ("sum", "add"):
         return torch.zeros(shape, dtype=src.dtype).scatter_add_(dim, idx, src)
     if reduce == "mean":
@@ -223,15 +231,17 @@ def degree(index, num_nodes=None, dtype=None):
 
 
 def global_add_pool(x, batch, size=None):
-    return scatter(x, batch, dim=0, dim_size=size, reduce="sum")
+    # PyG pools over dim=-2: keeps leading batch dims (equiformer_equihnns
+    # carries type0's [1, N, C] through the trunk)
+    return scatter(x, batch, dim=-2, dim_size=size, reduce="sum")
 
 
 def global_mean_pool(x, batch, size=None):
-    return scatter(x, batch, dim=0, dim_size=size, reduce="mean")
+    return scatter(x, batch, dim=-2, dim_size=size, reduce="mean")
 
 
 def global_max_pool(x, batch, size=None):
-    return scatter(x, batch, dim=0, dim_size=size, reduce="max")
+    return scatter(x, batch, dim=-2, dim_size=size, reduce="max")
 
 
 def to_dense_batch(x, batch=None, fill_value=0.0, max_num_nodes=None, batch_size=None):

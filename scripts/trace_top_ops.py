@@ -27,7 +27,10 @@ def main():
 
     import bench
     from equihgnn_tpu import create_model
+    from equihgnn_tpu.main import _enable_compile_cache
     from equihgnn_tpu.models.config import ModelConfig
+
+    _enable_compile_cache()  # identical configs skip the long tunnel compiles
 
     pack_slots = True
     batches, _ = bench._make_batches(pack_slots)
