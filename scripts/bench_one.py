@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     method = sys.argv[1]
     dtype = sys.argv[2] if len(sys.argv) > 2 else None
+    remat = len(sys.argv) > 3 and sys.argv[3] in ("remat", "1", "true")
 
     import jax
     import jax.numpy as jnp
@@ -31,7 +32,7 @@ def main():
     cfg = ModelConfig(
         mlp_hidden=bench.HIDDEN, output_hidden=128, all_num_layers=3,
         output_num_layers=3, aggregate="mean", normalization="ln",
-        compute_dtype=dtype,
+        compute_dtype=dtype, remat=remat,
     )
     model = create_model(method, num_target=1, cfg=cfg)
     variables = jax.jit(
