@@ -177,10 +177,19 @@ def bench_method(method: str, epochs: int | None = None, dtype: str | None = Non
         return optax.apply_updates(p, up), s, l
 
     rng = jax.random.key(1, impl="rbg")  # TPU-native dropout RNG (PERF.md)
-    # compile + warmup, hard-synced via scalar fetch
+    # compile + warmup, hard-synced via scalar fetch. The first call traces
+    # the step: the formulation-FLOP tally (ops/flop_tally.py) records the
+    # one-hot / slot-incidence contraction cost during that trace so MFU can
+    # be split into device-utilization vs progress-toward-peak (VERDICT
+    # round-3 weak #5).
+    from equihgnn_tpu.ops import flop_tally
+
+    flop_tally.enable()
     for b in batches[:2]:
         params, opt_state, l = step(params, opt_state, b, rng)
     float(l)
+    formulation_flops = flop_tally.total()
+    flop_tally.disable()
 
     flops_per_step = None
     try:
@@ -211,6 +220,17 @@ def bench_method(method: str, epochs: int | None = None, dtype: str | None = Non
         out["tflops_per_step"] = round(flops_per_step / 1e12, 4)
         out["mfu_pct"] = round(
             100.0 * flops_per_step * n_steps / dt / PEAK_FLOPS, 2
+        )
+        # MFU split (PERF.md "Split MFU accounting"): formulation FLOPs are
+        # the one-hot gather/scatter-replacement and slot-incidence matmuls
+        # — real device work, but an artifact of the TPU formulation, not
+        # model math. mfu_pct rates device utilization; algorithmic MFU
+        # rates progress toward peak on the model's own FLOPs.
+        alg = max(flops_per_step - formulation_flops, 0.0)
+        out["formulation_tflops_per_step"] = round(formulation_flops / 1e12, 4)
+        out["algorithmic_tflops_per_step"] = round(alg / 1e12, 4)
+        out["mfu_algorithmic_pct"] = round(
+            100.0 * alg * n_steps / dt / PEAK_FLOPS, 2
         )
     return out
 

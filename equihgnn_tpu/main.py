@@ -284,15 +284,31 @@ def _run_streaming(args) -> dict:
         iter_packed_batches,
         make_packed_buckets,
         packed_from_cache,
+        packed_from_dir,
         padding_waste_stats,
+        save_packed_dir,
     )
 
     if args.data.startswith("synthetic"):
         from equihgnn_tpu.data.synthetic import make_synthetic_packed
 
-        packed = make_synthetic_packed(
-            args.synthetic_size or 10_000, seed=0, num_targets=16
-        )
+        # EQUIHGNN_SYNTH_CACHE: persist the generated PackedSamples as an
+        # mmap dir so multi-million-molecule runs (the PCQM4Mv2-scale
+        # demonstration, SCALE.md) don't pay the ~1 h generation on every
+        # attempt. The cache is keyed by the caller; size mismatch falls
+        # back to regeneration.
+        cache = os.environ.get("EQUIHGNN_SYNTH_CACHE")
+        size = args.synthetic_size or 10_000
+        packed = None
+        if cache and os.path.exists(os.path.join(cache, "af_off.npy")):
+            packed = packed_from_dir(cache, mmap=True)
+            if packed.n != size:
+                packed = None
+        if packed is None:
+            packed = make_synthetic_packed(size, seed=0, num_targets=16)
+            if cache:
+                save_packed_dir(packed, cache)
+                packed = packed_from_dir(cache, mmap=True)
         with_pos = args.data.endswith("_3d")
     else:
         # featurize-once cache (built on first use), then load object-free

@@ -35,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops import flop_tally
 from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.sh import spherical_harmonics
@@ -276,11 +277,11 @@ class DTP(nn.Module):
                          == jnp.arange(a)[None, None, None, :])
                         & nbr_mask[..., None]
                     ).astype(h_aug.dtype)  # [G, A, k, A]
-                    hd = jnp.einsum("gikj,gikf->gijf", onehot, h_aug)
+                    hd = flop_tally.tally_einsum("gikj,gikf->gijf", onehot, h_aug)
                     vd = jnp.einsum("gijf,gjfob->gijob", hd, u_j)
                     # one-hot matmul, not take_along_axis: the gather's VJP
                     # is an XLA scatter (~100 ms each on a device trace)
-                    v = jnp.einsum(
+                    v = flop_tally.tally_einsum(
                         "gikj,gijob->gikob", onehot, vd
                     )  # [G, A, k, o, 2din+1]
                     if self.project_xi_xj:

@@ -21,6 +21,7 @@ from typing import Optional
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import MLP
+from equihgnn_tpu.ops import flop_tally
 from equihgnn_tpu.ops.segment import masked_segment_reduce
 
 
@@ -49,7 +50,7 @@ def _dense_reduce(o, vals, aggr):
     """Scatter entry values through a one-hot: [R,Ni,S]ᵀ·[R,Ni,d] → [R,S,d]."""
     import jax.numpy as jnp
 
-    out = jnp.einsum("rns,rnd->rsd", o, vals)
+    out = flop_tally.tally_einsum("rns,rnd->rsd", o, vals)
     if aggr == "mean":
         cnt = jnp.maximum(jnp.einsum("rns->rs", o), 1.0)
         out = out / cnt[..., None]
@@ -123,10 +124,10 @@ class MHNNConv(nn.Module):
             oa, oe = _slot_onehots(slots, x.dtype)
             smf = slot_mask[..., None].astype(x.dtype)
             hmf = hedge_slot_mask[..., None].astype(x.dtype)
-            x_ent = lambda: jnp.einsum(
+            x_ent = lambda: flop_tally.tally_einsum(
                 "rna,rad->rnd", oa, x[slot_index] * smf
             )
-            e_ent = lambda: jnp.einsum(
+            e_ent = lambda: flop_tally.tally_einsum(
                 "rne,red->rnd", oe, e[hedge_slot_index] * hmf
             )
             # V→E messages
@@ -144,7 +145,7 @@ class MHNNConv(nn.Module):
             mev = apply_w(
                 w3, jnp.concatenate([x_ent(), e_ent()], -1), inc_slot_mask
             )
-            sv = jnp.einsum("rna,rnd->rad", oa, mev)
+            sv = flop_tally.tally_einsum("rna,rnd->rad", oa, mev)
             if self.aggr == "mean":
                 cnt = jnp.maximum(jnp.einsum("rna->ra", oa), 1.0)
                 sv = sv / cnt[..., None]
@@ -218,12 +219,12 @@ class MHNNSConv(nn.Module):
             smf = slot_mask[..., None].astype(x.dtype)
             xw_d = xw[slot_index] * smf
             x_d = x[slot_index] * smf
-            xve_d = jnp.einsum("rna,rad->rnd", oa, xw_d)
+            xve_d = flop_tally.tally_einsum("rna,rad->rnd", oa, xw_d)
             xe_d = _dense_reduce(oe, xve_d, self.aggr)  # [R, He, d]
             xev = jnp.concatenate(
                 [
-                    jnp.einsum("rna,rad->rnd", oa, x_d),
-                    jnp.einsum("rne,red->rnd", oe, xe_d),
+                    flop_tally.tally_einsum("rna,rad->rnd", oa, x_d),
+                    flop_tally.tally_einsum("rne,red->rnd", oe, xe_d),
                 ],
                 -1,
             )
@@ -233,7 +234,7 @@ class MHNNSConv(nn.Module):
                 if w2 is None
                 else w2(xev, mask=inc_slot_mask, deterministic=deterministic)
             )
-            sv = jnp.einsum("rna,rnd->rad", oa, xev)
+            sv = flop_tally.tally_einsum("rna,rnd->rad", oa, xev)
             if self.aggr == "mean":
                 cnt = jnp.maximum(jnp.einsum("rna->ra", oa), 1.0)
                 sv = sv / cnt[..., None]

@@ -48,6 +48,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.mlp import TorchLinear
+from equihgnn_tpu.ops import flop_tally
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.sh import spherical_harmonics
 from equihgnn_tpu.ops.numerics import safe_norm
@@ -219,7 +220,9 @@ class _ConvSE3Pair(nn.Module):
                 pooled_m_supported,
             )
 
-            xg = jnp.einsum("gakj,gjeb->gakeb", onehot, xn)
+            # formulation FLOPs (one-hot gather as matmul): tallied for the
+            # MFU split in bench.py
+            xg = flop_tally.tally_einsum("gakj,gjeb->gakeb", onehot, xn)
             g_, a_, k_ = onehot.shape[:3]
 
             @jax.checkpoint
@@ -279,7 +282,7 @@ class _ConvSE3Pair(nn.Module):
         # every u ([G,A,J,f,o], 4.4 ms each, 52 ms/step on a device trace).
         # Host loop over input-m with an inner checkpoint per step so only
         # one u temp is ever live.
-        hd = jnp.einsum("gikj,sgikf->sgijf", onehot, h)
+        hd = flop_tally.tally_einsum("gikj,sgikf->sgijf", onehot, h)
         # [S, f, o, i, J] -> [S, f, J·o, i] (J outer, o inner)
         Wp = jnp.moveaxis(W, -1, 2).reshape(s, f, len(js) * self.nc_out, self.nc_in)
         bp = jnp.moveaxis(bias, -1, 1).reshape(s, len(js) * self.nc_out, self.nc_in)
@@ -288,9 +291,9 @@ class _ConvSE3Pair(nn.Module):
             # Wp [S,f,p,i]; hds [S,G,A,A,f]; xnb [G,A,i]; wshb [G,A,k,J,c]
             u = jnp.einsum("sfpi,gji->sgjpf", Wp, xnb)
             v = jnp.einsum("sgajf,sgjpf->sgjap", hds, u)
-            vk = jnp.einsum("gakj,sgjap->sgakp", onehot, v)
+            vk = flop_tally.tally_einsum("gakj,sgjap->sgakp", onehot, v)
             ub = jnp.einsum("spi,gji->sgjp", bp, xnb)
-            ubk = jnp.einsum("gakj,sgjp->sgakp", onehot, ub)
+            ubk = flop_tally.tally_einsum("gakj,sgjp->sgakp", onehot, ub)
             ek = (vk + ubk).reshape(vk.shape[:4] + (len(js), self.nc_out))
             return jnp.einsum("sgakJo,gakJc->sgakoc", ek, wshb)
 

@@ -35,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from equihgnn_tpu.nn.encoders import AtomEncoder
+from equihgnn_tpu.ops import flop_tally
 from equihgnn_tpu.ops.gather import nbr_gather
 from equihgnn_tpu.ops.knn import knn_dense
 from equihgnn_tpu.ops.numerics import safe_norm
@@ -244,7 +245,9 @@ class ViS_MP(nn.Module):
         vec_agg = jnp.stack(
             [
                 jnp.sum(
-                    s1 * jnp.einsum("gikj,gjh->gikh", onehot, vec[:, :, l]),
+                    s1 * flop_tally.tally_einsum(
+                        "gikj,gjh->gikh", onehot, vec[:, :, l]
+                    ),
                     axis=2,
                 )
                 for l in range(vec.shape[2])
@@ -272,7 +275,7 @@ class ViS_MP(nn.Module):
         uv = 0.0
         vd = 0.0
         for l in range(vec.shape[2]):
-            vvk_l = jnp.einsum("gikj,gjh->gikh", onehot, vv[:, :, l])
+            vvk_l = flop_tally.tally_einsum("gikj,gjh->gikh", onehot, vv[:, :, l])
             uv = uv + u[:, :, None, l, :] * vvk_l
             vd = vd + d_ij[..., l][..., None] * vvk_l
         ud = jnp.einsum("gilh,gikl->gikh", u, d_ij)

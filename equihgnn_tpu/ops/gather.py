@@ -20,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from equihgnn_tpu.ops import flop_tally
+
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def nbr_gather(x, nbr_idx, nbr_mask):
@@ -58,7 +60,10 @@ def _bwd(res, ct):
         onehot = onehot & nbr_mask[..., None]
     onehot = onehot.astype(ct.dtype).reshape(g, a * k, a)
     ctf = ct.reshape(g, a * k, -1)
-    gx = jnp.einsum("gej,gef->gjf", onehot, ctf).reshape(x_shape)
+    # formulation FLOPs (MFU split): this backward matmul replaces a scatter
+    gx = flop_tally.tally_einsum(
+        "gej,gef->gjf", onehot, ctf, factor=1
+    ).reshape(x_shape)
     return gx, None, None
 
 
@@ -86,7 +91,7 @@ def _eg_bwd(res, ct):
     flat_idx = idx.reshape(-1)
     onehot = (flat_idx[:, None] == jnp.arange(v)[None, :]).astype(ct.dtype)
     ctf = ct.reshape(flat_idx.shape[0], tshape[1])
-    return jnp.einsum("ev,ed->vd", onehot, ctf), None
+    return flop_tally.tally_einsum("ev,ed->vd", onehot, ctf, factor=1), None
 
 
 embed_gather.defvjp(_eg_fwd, _eg_bwd)
