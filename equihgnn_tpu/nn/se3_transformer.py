@@ -215,6 +215,10 @@ class _ConvSE3Pair(nn.Module):
             # Exact: mean_k[(W·h_k + b)·t_k] = (W·Σ_k h_k⊗t_k + b·Σ_k t_k)/cnt
             # with t the CG×SH-contracted neighbor feature. Inner checkpoint
             # per J: the [S,G,A,f,i] M temp (~3 GB at fiber 256) lives alone.
+            from equihgnn_tpu.ops.pallas.pooled_conv import (
+                pooled_conv,
+                pooled_conv_supported,
+            )
             from equihgnn_tpu.ops.pallas.pooled_m import (
                 pooled_m,
                 pooled_m_supported,
@@ -224,6 +228,34 @@ class _ConvSE3Pair(nn.Module):
             # MFU split in bench.py
             xg = flop_tally.tally_einsum("gakj,gjeb->gakeb", onehot, xn)
             g_, a_, k_ = onehot.shape[:3]
+
+            if s == 1 and pooled_conv_supported(
+                a_, k_, c_out, self.nc_in, f, self.nc_out, xn.dtype
+            ):
+                # Fully-fused unit (ops/pallas/pooled_conv.py): M-build +
+                # projection in VMEM, no per-J checkpoint needed — the
+                # kernel's VJP recomputes M in VMEM, so neither M nor dM
+                # ever exists in HBM (the former ~18 GB/pair-J byte block,
+                # ROOFLINE.json).
+                cnt = jnp.maximum(
+                    jnp.sum(nbr_mask.astype(jnp.float32), axis=2), 1.0
+                )[..., None, None]
+                acc = 0.0
+                for jidx in range(len(js)):
+                    wshj = w_sh[..., jidx, :, :]
+                    tcj = jnp.einsum("gakbc,gakib->gakci", wshj, xg)
+                    tsum = jnp.sum(tcj, axis=2)  # [G, A, c, i]
+                    acc = acc + pooled_conv(
+                        h[0],
+                        tcj.reshape(g_, a_, k_, c_out * self.nc_in),
+                        W[0, ..., jidx],
+                        c_out,
+                    )
+                    acc = acc + jnp.einsum(
+                        "oi,gaci->gaco", bias[0, ..., jidx], tsum
+                    )
+                out = jnp.swapaxes(acc, -1, -2)[None]  # [1, G, A, o, c]
+                return out / cnt[None].astype(out.dtype)
 
             @jax.checkpoint
             def one_j(Wj, bj, wshj, h, xg):
