@@ -61,7 +61,7 @@ class _EGNNLinear(nn.Module):
         )
         if return_params:
             return kernel, bias
-        return jnp.dot(x, kernel) + bias
+        return jnp.dot(x, kernel.astype(x.dtype)) + bias.astype(x.dtype)
 
 
 class _EdgeLinear0(nn.Module):
@@ -91,9 +91,10 @@ class _EdgeLinear0(nn.Module):
         )
         if return_params:  # fused Pallas edge-MLP path (ops/pallas/edge_mlp.py)
             return wi, wj, wd, bias
-        ui = jnp.dot(feats, wi)  # [..., F] node-side
-        uj = gather_j(jnp.dot(feats, wj))  # [..., k, F]
-        return ui[..., None, :] + uj + rel_dist * wd[0] + bias
+        dt = feats.dtype
+        ui = jnp.dot(feats, wi.astype(dt))  # [..., F] node-side
+        uj = gather_j(jnp.dot(feats, wj.astype(dt)))  # [..., k, F]
+        return ui[..., None, :] + uj + rel_dist * wd[0].astype(dt) + bias.astype(dt)
 
 
 class CoorsNorm(nn.Module):
@@ -151,7 +152,8 @@ class EGNN(nn.Module):
                 None, return_params=True, fan_in=F
             )
             m_ij = fused_edge_messages(
-                jnp.dot(feats, wi), jnp.dot(feats, wj), rel_dist[..., 0],
+                jnp.dot(feats, wi.astype(feats.dtype)),
+                jnp.dot(feats, wj.astype(feats.dtype)), rel_dist[..., 0],
                 nbr_idx, wd[0], b0, w1, b1,
             )
         else:
@@ -185,8 +187,15 @@ class EGNN(nn.Module):
                 m_i = jnp.sum(m_ij, axis=-2) / cnt
             else:
                 m_i = jnp.sum(m_ij, axis=-2)
+            # LayerNorm statistics promote to f32 (flax param dtype); cast
+            # back so the node MLP and the downstream trunk stay in the
+            # compute dtype (the bf16 bench was silently f32 end-to-end here)
             normed = (
-                nn.LayerNorm(epsilon=1e-5, name="node_norm")(feats) if self.norm_feats else feats
+                nn.LayerNorm(epsilon=1e-5, name="node_norm")(feats).astype(
+                    feats.dtype
+                )
+                if self.norm_feats
+                else feats
             )
             h = jnp.concatenate([normed, m_i], axis=-1)
             h = _EGNNLinear(2 * d, name="node_mlp_0")(h)

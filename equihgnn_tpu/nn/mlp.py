@@ -72,7 +72,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", lambda k: jnp.array(self.init_alpha, jnp.float32))
-        return jnp.where(x >= 0, x, alpha * x)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -97,17 +97,18 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,)))
 
+        xf = x.astype(jnp.float32)  # batch statistics always in f32
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                m = jnp.ones(x.shape[:-1], dtype=x.dtype)
+                m = jnp.ones(x.shape[:-1], dtype=jnp.float32)
             else:
-                m = mask.astype(x.dtype)
+                m = mask.astype(jnp.float32)
             mw = m[..., None]
             cnt = jnp.sum(m)
-            sx = jnp.sum(x * mw, axis=tuple(range(x.ndim - 1)))
-            sx2 = jnp.sum(x * x * mw, axis=tuple(range(x.ndim - 1)))
+            sx = jnp.sum(xf * mw, axis=tuple(range(x.ndim - 1)))
+            sx2 = jnp.sum(xf * xf * mw, axis=tuple(range(x.ndim - 1)))
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 sx = jax.lax.psum(sx, self.axis_name)
@@ -120,8 +121,8 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class _Norm(nn.Module):
@@ -137,7 +138,9 @@ class _Norm(nn.Module):
                 x, mask=mask, use_running_average=use_running_average
             )
         if self.kind == "ln":
-            return nn.LayerNorm(epsilon=1e-5)(x)
+            # statistics promote to f32 (flax param dtype); keep the MLP
+            # chain in the caller's compute dtype
+            return nn.LayerNorm(epsilon=1e-5)(x).astype(x.dtype)
         return x
 
 

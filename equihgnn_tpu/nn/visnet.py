@@ -209,11 +209,21 @@ class ViS_MP(nn.Module):
         vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)
         vec_dot = jnp.sum(vec1 * vec2, axis=-2)  # [G, A, h]
 
-        # one-hot neighbor matrix (masked): [G, A(i), k, A(j)]
-        onehot = (
-            (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
-            & nbr_mask[..., None]
-        ).astype(x.dtype)
+        # fused Pallas vector-interaction path (ops/pallas/vis_mix.py): the
+        # per-l gather loops below materialize 16 [G,A,k,h] HBM temps per
+        # layer — the kernel keeps them in VMEM (fusion_bytes.py attribution)
+        from equihgnn_tpu.ops.pallas.vis_mix import (
+            vis_mix_supported,
+            vis_vector_mix,
+        )
+
+        use_mix_kernel = vis_mix_supported(a, k, vec.shape[2], h)
+        if not use_mix_kernel:
+            # one-hot neighbor matrix (masked): [G, A(i), k, A(j)]
+            onehot = (
+                (nbr_idx[..., None] == jnp.arange(a)[None, None, None, :])
+                & nbr_mask[..., None]
+            ).astype(x.dtype)
 
         # ---- message over neighbors (nbr_gather: matmul-transpose VJP,
         # no backward scatter — ops/gather.py)
@@ -235,25 +245,54 @@ class ViS_MP(nn.Module):
         mk = nbr_mask[..., None].astype(x.dtype)
 
         x_agg = jnp.sum(v_j * mk, axis=2)  # [G, A, h]
-        # vec_agg = Σ_k vec[j(k)]·s1[k] + Σ_k s2[k]·d_ij[k].
-        # Per-l neighbor gathers: the earlier dense form routed this through
-        # S = onehot·s1 [G,A,A,h] then S·vec — (g,h)-batched [A,A]×[A,L]
-        # matmuls with K=8/16 that run the MXU at ≤6% and materialize 0.25 GB
-        # temps (device trace, PERF.md). Each l slice here is one
-        # [A·k, A]×[A, h] matmul per molecule row (K=32, N=256) and only
-        # [G,A,k,h] transients.
-        vec_agg = jnp.stack(
-            [
-                jnp.sum(
-                    s1 * flop_tally.tally_einsum(
-                        "gikj,gjh->gikh", onehot, vec[:, :, l]
-                    ),
-                    axis=2,
-                )
-                for l in range(vec.shape[2])
-            ],
-            axis=2,
-        ) + jnp.einsum("gikh,gikl->gilh", s2 * mk, d_ij)
+        if not self.last_layer:
+            # edge update projections (`visnet_layer.py:546-553,660-667`):
+            # w1·w2 with w1 = u−(u·d)d, w2 = v−(v·(−d))(−d) expands to
+            # u·v − (u·d)(v·d)(2−|d|²); u at target i, v at source j.
+            u = _Proj(h, use_bias=False, name="w_trg_proj")(vec)  # [G,A,L,h]
+            vv = _Proj(h, use_bias=False, name="w_src_proj")(vec)
+
+        # vec_agg = Σ_k vec[j(k)]·s1[k] + Σ_k s2[k]·d_ij[k]; w_dot = the
+        # vector-rejection edge dot products. Fused path: one Pallas kernel
+        # (ops/pallas/vis_mix.py) computes both with the gathers as one-hot
+        # MXU matmuls entirely in VMEM.
+        if use_mix_kernel:
+            vec_agg, w_dot = vis_vector_mix(
+                vec, s1, s2 * mk, d_ij, nbr_idx, nbr_mask,
+                None if self.last_layer else u,
+                None if self.last_layer else vv,
+            )
+        else:
+            # XLA fallback: per-l neighbor gathers — each l slice is one
+            # [A·k, A]×[A, h] matmul per molecule row, only [G,A,k,h]
+            # transients (the earlier dense S=onehot·s1 [G,A,A,h] form ran
+            # the MXU at ≤6%, PERF.md)
+            vec_agg = jnp.stack(
+                [
+                    jnp.sum(
+                        s1 * flop_tally.tally_einsum(
+                            "gikj,gjh->gikh", onehot, vec[:, :, l]
+                        ),
+                        axis=2,
+                    )
+                    for l in range(vec.shape[2])
+                ],
+                axis=2,
+            ) + jnp.einsum("gikh,gikl->gilh", s2 * mk, d_ij)
+            if not self.last_layer:
+                # Per-l gathers of the source projection feed BOTH the u·v
+                # term and the (v·d) projection.
+                uv = 0.0
+                vd = 0.0
+                for l in range(vec.shape[2]):
+                    vvk_l = flop_tally.tally_einsum(
+                        "gikj,gjh->gikh", onehot, vv[:, :, l]
+                    )
+                    uv = uv + u[:, :, None, l, :] * vvk_l
+                    vd = vd + d_ij[..., l][..., None] * vvk_l
+                ud = jnp.einsum("gilh,gikl->gikh", u, d_ij)
+                dd = jnp.sum(d_ij * d_ij, axis=-1)[..., None]  # [G, A, k, 1]
+                w_dot = uv - ud * vd * (2.0 - dd)
 
         o123 = _Proj(3 * h, name="o_proj")(x_agg)
         o1, o2, o3 = jnp.split(o123, 3, axis=-1)
@@ -262,25 +301,6 @@ class ViS_MP(nn.Module):
 
         if self.last_layer:
             return dx, dvec, None
-
-        # ---- edge update: vector rejection (`visnet_layer.py:546-553,660-667`)
-        # w1·w2 with w1 = u−(u·d)d, w2 = v−(v·(−d))(−d) expands to
-        # u·v − (u·d)(v·d)(2−|d|²); u at target i, v at source j.
-        u = _Proj(h, use_bias=False, name="w_trg_proj")(vec)  # [G, A, L, h]
-        vv = _Proj(h, use_bias=False, name="w_src_proj")(vec)
-        # Per-l gathers of the source projection feed BOTH the u·v term and
-        # the (v·d) projection — replaces the dense P = u·vvᵀ [G,A,A,h]
-        # (tiny-K batched matmuls) and the od [G,A,k,A,L] outer-product
-        # monster (~4 GB bf16 if materialized) of the earlier formulation.
-        uv = 0.0
-        vd = 0.0
-        for l in range(vec.shape[2]):
-            vvk_l = flop_tally.tally_einsum("gikj,gjh->gikh", onehot, vv[:, :, l])
-            uv = uv + u[:, :, None, l, :] * vvk_l
-            vd = vd + d_ij[..., l][..., None] * vvk_l
-        ud = jnp.einsum("gilh,gikl->gikh", u, d_ij)
-        dd = jnp.sum(d_ij * d_ij, axis=-1)[..., None]  # [G, A, k, 1]
-        w_dot = uv - ud * vd * (2.0 - dd)
         if not self.vertex:
             df_ij = nn.silu(_Proj(h, name="f_proj")(f_ij)) * w_dot
         else:

@@ -210,6 +210,41 @@ def main():
     ):
         oks.append(check(f"edge_mlp grad {nm}", a_, b_))
 
+    # -------------------------------------------------------------- vis_mix
+    from equihgnn_tpu.ops.pallas import vis_mix as vm
+
+    g, a, k, L, h = 6, 32, 17, 8, 256  # bench shapes
+    vec = jnp.asarray(rng.standard_normal((g, a, L, h)), jnp.float32)
+    s1 = jnp.asarray(rng.standard_normal((g, a, k, h)) * 0.3, jnp.float32)
+    s2m = jnp.asarray(rng.standard_normal((g, a, k, h)) * 0.3, jnp.float32)
+    dsh = jnp.asarray(rng.standard_normal((g, a, k, L)) * 0.5, jnp.float32)
+    vidx = jnp.asarray(rng.integers(0, a, (g, a, k)), jnp.int32)
+    vmask = jnp.asarray(rng.random((g, a, k)) > 0.2)
+    vu = jnp.asarray(rng.standard_normal((g, a, L, h)) * 0.3, jnp.float32)
+    vvv = jnp.asarray(rng.standard_normal((g, a, L, h)) * 0.3, jnp.float32)
+    va_k, wd_k = jax.jit(vm._mix_edge)(vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
+    va_r, wd_r = vm._xla_mix(vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
+    oks.append(check("vis_mix fwd vec_agg", va_k, va_r))
+    oks.append(check("vis_mix fwd w_dot", wd_k, wd_r))
+    r1 = jnp.asarray(rng.standard_normal(vec.shape), jnp.float32)
+    r2 = jnp.asarray(rng.standard_normal(s1.shape), jnp.float32)
+
+    def vl(fn, *args):
+        va_, wd_ = fn(*args)
+        return jnp.sum(va_ * r1) + jnp.sum(wd_ * r2)
+
+    gv = jax.jit(jax.grad(lambda *ar: vl(vm._mix_edge, *ar),
+                          argnums=(0, 1, 2, 3, 6, 7)))(
+        vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
+    grv = jax.jit(jax.grad(lambda *ar: vl(vm._xla_mix, *ar),
+                           argnums=(0, 1, 2, 3, 6, 7)))(
+        vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
+    for nm, a_, b_ in zip(("dvec", "ds1", "ds2m", "dd", "du", "dvv"), gv, grv):
+        oks.append(check(f"vis_mix grad {nm}", a_, b_))
+    va_k2 = jax.jit(vm._mix_last)(vec, s1, s2m, dsh, vidx, vmask)
+    va_r2, _ = vm._xla_mix(vec, s1, s2m, dsh, vidx, vmask)
+    oks.append(check("vis_mix last fwd", va_k2, va_r2))
+
     # ----------------------------------------------------------- segment_sum
     from equihgnn_tpu.ops.pallas.segment_sum import sorted_segment_sum
 
