@@ -217,7 +217,7 @@ class ViS_MP(nn.Module):
             vis_vector_mix,
         )
 
-        use_mix_kernel = vis_mix_supported(a, k, vec.shape[2], h)
+        use_mix_kernel = vis_mix_supported(a, k, vec.shape[2], h, x.dtype)
         if not use_mix_kernel:
             # one-hot neighbor matrix (masked): [G, A(i), k, A(j)]
             onehot = (

@@ -7,11 +7,10 @@ per-l neighbor-gather loops in `nn/visnet.py` (ViS_MP): 16 einsums per layer
 producing [G,A,k,h] HBM temps, plus the per-l slice / stack-DUS chains and
 their backward mirrors — several hundred async-copy chunks per step.
 
-Two kernels (one monolithic kernel OOMed the 16 MB VMEM stack at bench
-shapes), each gridded per molecule row with everything in VMEM (`reference
-equihgnn/models/layers/visnet_layer.py:472-679` — vector aggregation and the
-vector-rejection edge dot products, in the algebraically expanded form of
-nn/visnet.py):
+Two kernels (vec_agg; w_dot), each gridded (row-block i, h-block j), with
+the semantics of `reference equihgnn/models/layers/visnet_layer.py:472-679`
+— vector aggregation and the vector-rejection edge dot products, in the
+algebraically expanded form of nn/visnet.py:
 
   vec_agg kernel:
     vecj[i,k,l,:]  = vec[j(i,k),l,:]            (masked neighbor gather)
@@ -23,14 +22,37 @@ nn/visnet.py):
     ud[i,k,:]      = sum_l u[i,l,:]*d[i,l,k]
     w_dot[i,k,:]   = uv - ud*vd*(2 - sum_l d[i,l,k]^2)
 
-The gathers are one-hot MXU matmuls ([A*k, A] x [A, h] per l) built
-in-kernel from the neighbor index table; none of the [A,k,L,h]-sized
-gathered tensors or the 16 per-l [G,A,k,h] temps ever reach HBM. The
-backward kernels rematerialize the gathers in VMEM and emit all input
-gradients (no parameter accumulation across the grid — every gradient is
-row-local); `d` receives one contribution from each kernel, summed by the
-caller's VJP. `d` is passed [G,A,L,k] (k minor) so per-l slicing stays on a
-sublane dimension.
+Performance shape (four iterations measured on the v5e, each gated on a
+device trace):
+  * f32 MXU operands ran the matmuls in multi-pass emulation — 963 ms vs
+    the 428 ms XLA baseline. The MXU operands are bf16 (exact re-casts on
+    the sub-f32 path this kernel is gated to; XLA's own DEFAULT-precision
+    einsums round identically), accumulation f32.
+  * one molecule row per grid step left ~10 us of per-step overhead on 45k
+    tiny steps — rows are processed _GT=4 per step, with the gathers as ONE
+    block-diagonal one-hot matmul [GT*k*A, GT*A] x [GT*A, hb] per l
+    (K = GT*A = 128 = one full MXU pass; the off-diagonal zeros cost 4x
+    FLOPs against a >10x bandwidth window).
+  * Mosaic's scoped-VMEM allocator keeps unrolled-loop temps live (a
+    full-h unrolled kernel hit 17.5 MB / 16 MB): the l loop is a
+    lax.fori_loop, l sits in a LEADING block dim (dynamic slicing a
+    sublane dim requires 8-aligned indices), and `vmem_limit_bytes` raises
+    the 16 MB default scope.
+  * the first working cut spent ~180 us/grid-step in physical re-tilings:
+    reshaping the [E, hb] gather matmul output to [.., k=17, hb] splits
+    the sublane dim at a non-multiple-of-8 (trace: 43 ms per wdot-bwd
+    call, 65% of the step in kernels). All in-kernel tensors are therefore
+    EDGE-K-MAJOR — [GT*k, A, hb] with A=32 sublanes — so every reshape
+    to/from the 2-D matmul forms is a pure leading-dim regroup, and the
+    per-edge broadcasts of row tensors insert leading dims only. The
+    caller transposes the [G,A,k,h] operands to [G,k,A,h] at the XLA
+    boundary (fused into producers by XLA layout assignment).
+
+The only cross-h reductions are the d-gradients; those accumulate into a
+revisited output block across the inner h-grid (the segment_sum.py
+pattern). Backward kernels rematerialize the gathers in VMEM and emit all
+input gradients; `d` receives one contribution from each kernel, summed by
+the caller's VJP.
 
 Semantics identical to the unfused composition (`_xla_mix` below, the exact
 code this replaces); masked edges produce zero rows through the masked
@@ -43,28 +65,54 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from equihgnn_tpu.ops import flop_tally
 
 _f32 = jnp.float32
+_bf16 = jnp.bfloat16
+_HB = 128  # h-block (lane) width
+_GT = 4  # molecule rows per grid step
 
 
 def _dot(x, y):
-    return jnp.dot(x, y, preferred_element_type=_f32)
-
-
-def _dotT(x, y):
-    """Contract dim 0 of x [E, A] with dim 0 of y [E, h] -> [A, h]."""
-    return lax.dot_general(
-        x, y, (((0,), (0,)), ((), ())), preferred_element_type=_f32
+    """MXU matmul: bf16 operands, f32 accumulation, DEFAULT precision
+    (Mosaic rejects bf16 matmuls carrying HIGHEST from an ambient context)."""
+    return jnp.dot(
+        x.astype(_bf16), y.astype(_bf16),
+        preferred_element_type=_f32, precision=lax.Precision.DEFAULT,
     )
 
 
-def _masked_onehot(idx, maskf, a, k):
-    """[A*k, A] masked selection matrix from the neighbor index table."""
-    iota = lax.broadcasted_iota(jnp.int32, (a, k, a), 2)
-    oh = jnp.where(iota == idx[:, :, None], maskf[:, :, None], 0.0)
-    return oh.reshape(a * k, a)
+def _dotT(x, y):
+    """Contract dim 0 of x [E, A'] with dim 0 of y [E, h] -> [A', h]."""
+    return lax.dot_general(
+        x.astype(_bf16), y.astype(_bf16),
+        (((0,), (0,)), ((), ())), preferred_element_type=_f32,
+        precision=lax.Precision.DEFAULT,
+    )
+
+
+def _block_onehot(idx, maskf, gt, a, k):
+    """[GT*k*A, GT*A] block-diagonal masked selection matrix, edge-k-major.
+
+    idx/maskf arrive [GT, k, A]; edge e=(g,kk,i) selects source column
+    g*A + idx[g,kk,i] — molecules never gather across rows. All reshapes
+    stay pure (only untiled leading dims and the a%8==0 sublane dim merge).
+    """
+    ap = gt * a
+    off = lax.broadcasted_iota(jnp.int32, (gt, k, a), 0) * a
+    tgt = idx + off
+    iota = lax.broadcasted_iota(jnp.int32, (gt, k, a, ap), 3)
+    oh = jnp.where(iota == tgt[..., None], maskf[..., None], 0.0)
+    return oh.reshape(gt * k * a, ap).astype(_bf16)
+
+
+def _bc_rows(u_row, k):
+    """[GT, A, hb] row tensor -> [GT, k, A, hb] per-edge (leading-only)."""
+    return jnp.broadcast_to(
+        u_row[:, None], (u_row.shape[0], k) + u_row.shape[1:]
+    )
 
 
 # --------------------------------------------------------------- vec_agg
@@ -72,116 +120,187 @@ def _masked_onehot(idx, maskf, a, k):
 
 def _agg_fwd_kernel(idx_ref, maskf_ref, vec_ref, s1_ref, s2m_ref, d_ref,
                     vecagg_ref):
-    a, k = idx_ref.shape[1], idx_ref.shape[2]
-    L = vec_ref.shape[2]
-    oh = _masked_onehot(idx_ref[0], maskf_ref[0], a, k)
-    for l in range(L):
-        d_l = d_ref[0, :, l, :]  # [A, k]
-        vecj = _dot(oh, vec_ref[0, :, l, :]).reshape(a, k, -1)
-        vecagg_ref[0, :, l, :] = (
-            jnp.sum(s1_ref[0] * vecj, axis=1)
-            + jnp.sum(s2m_ref[0] * d_l[:, :, None], axis=1)
+    gt, k, a = idx_ref.shape
+    L = vec_ref.shape[1]  # vec [GT, L, A, hb]
+    oh = _block_onehot(idx_ref[...], maskf_ref[...], gt, a, k)
+    s1 = s1_ref[...].astype(_f32)  # [GT, k, A, hb]
+    s2m = s2m_ref[...].astype(_f32)
+
+    def body(l, _):
+        d_l = d_ref[:, pl.ds(l, 1), :, :].reshape(gt, k, a).astype(_f32)
+        vec_l = vec_ref[:, pl.ds(l, 1), :, :].reshape(gt * a, -1)
+        vecj = _dot(oh, vec_l).reshape(gt, k, a, -1)
+        agg = (s1 * vecj + s2m * d_l[..., None]).sum(axis=1)
+        vecagg_ref[:, pl.ds(l, 1), :, :] = agg.reshape(gt, 1, a, -1).astype(
+            vecagg_ref.dtype
         )
+        return 0
+
+    lax.fori_loop(0, L, body, 0)
 
 
 def _agg_bwd_kernel(idx_ref, maskf_ref, vec_ref, s1_ref, s2m_ref, d_ref,
                     gva_ref, dvec_ref, ds1_ref, ds2m_ref, dd_ref):
-    a, k = idx_ref.shape[1], idx_ref.shape[2]
-    L = vec_ref.shape[2]
-    oh = _masked_onehot(idx_ref[0], maskf_ref[0], a, k)
-    ds1 = jnp.zeros(s1_ref.shape[1:], _f32)
-    ds2m = jnp.zeros(s1_ref.shape[1:], _f32)
-    for l in range(L):
-        d_l = d_ref[0, :, l, :]
-        g_va = gva_ref[0, :, l, :]  # [A, h]
-        vecj = _dot(oh, vec_ref[0, :, l, :]).reshape(a, k, -1)
-        ds1 = ds1 + vecj * g_va[:, None, :]
-        ds2m = ds2m + d_l[:, :, None] * g_va[:, None, :]
-        dvecj = s1_ref[0] * g_va[:, None, :]
-        dvec_ref[0, :, l, :] = _dotT(oh, dvecj.reshape(a * k, -1))
-        dd_ref[0, :, l, :] = jnp.sum(s2m_ref[0] * g_va[:, None, :], axis=-1)
-    ds1_ref[0] = ds1
-    ds2m_ref[0] = ds2m
+    gt, k, a = idx_ref.shape
+    L = vec_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dd_ref[...] = jnp.zeros_like(dd_ref)
+
+    oh = _block_onehot(idx_ref[...], maskf_ref[...], gt, a, k)
+    s1 = s1_ref[...].astype(_f32)  # [GT, k, A, hb]
+    s2m = s2m_ref[...].astype(_f32)
+
+    def body(l, carry):
+        ds1, ds2m = carry
+        d_l = d_ref[:, pl.ds(l, 1), :, :].reshape(gt, k, a).astype(_f32)
+        g_row = gva_ref[:, pl.ds(l, 1), :, :].reshape(gt, a, -1).astype(_f32)
+        g_va = _bc_rows(g_row, k)  # [GT, k, A, hb]
+        vec_l = vec_ref[:, pl.ds(l, 1), :, :].reshape(gt * a, -1)
+        vecj = _dot(oh, vec_l).reshape(gt, k, a, -1)
+        ds1 = ds1 + vecj * g_va
+        ds2m = ds2m + d_l[..., None] * g_va
+        dvecj = s1 * g_va
+        dvec_l = _dotT(oh, dvecj.reshape(gt * k * a, -1))  # [GT*A, hb]
+        dvec_ref[:, pl.ds(l, 1), :, :] = dvec_l.reshape(gt, 1, a, -1).astype(
+            dvec_ref.dtype
+        )
+        dd_l = jnp.sum(s2m * g_va, axis=-1)  # [GT, k, A]
+        prev = dd_ref[:, pl.ds(l, 1), :, :]
+        dd_ref[:, pl.ds(l, 1), :, :] = prev + dd_l[:, None].astype(
+            dd_ref.dtype
+        )
+        return ds1, ds2m
+
+    z = jnp.zeros(s1.shape, _f32)
+    ds1, ds2m = lax.fori_loop(0, L, body, (z, z))
+    ds1_ref[...] = ds1.astype(ds1_ref.dtype)
+    ds2m_ref[...] = ds2m.astype(ds2m_ref.dtype)
 
 
 # ---------------------------------------------------------------- w_dot
 
 
 def _wdot_fwd_kernel(idx_ref, maskf_ref, d_ref, u_ref, vv_ref, wdot_ref):
-    a, k = idx_ref.shape[1], idx_ref.shape[2]
-    L = u_ref.shape[2]
-    oh = _masked_onehot(idx_ref[0], maskf_ref[0], a, k)
-    uv = jnp.zeros(wdot_ref.shape[1:], _f32)
-    vd = jnp.zeros(wdot_ref.shape[1:], _f32)
-    ud = jnp.zeros(wdot_ref.shape[1:], _f32)
-    dd = jnp.zeros((a, k), _f32)
-    for l in range(L):
-        d_l = d_ref[0, :, l, :]
-        u_l = u_ref[0, :, l, :]
-        vvj = _dot(oh, vv_ref[0, :, l, :]).reshape(a, k, -1)
-        uv = uv + u_l[:, None, :] * vvj
-        vd = vd + d_l[:, :, None] * vvj
-        ud = ud + u_l[:, None, :] * d_l[:, :, None]
+    gt, k, a = idx_ref.shape
+    L = u_ref.shape[1]
+    oh = _block_onehot(idx_ref[...], maskf_ref[...], gt, a, k)
+    hb = u_ref.shape[-1]
+
+    def body(l, carry):
+        uv, vd, ud, dd = carry
+        d_l = d_ref[:, pl.ds(l, 1), :, :].reshape(gt, k, a).astype(_f32)
+        u_l = _bc_rows(
+            u_ref[:, pl.ds(l, 1), :, :].reshape(gt, a, -1).astype(_f32), k
+        )
+        vv_l = vv_ref[:, pl.ds(l, 1), :, :].reshape(gt * a, -1)
+        vvj = _dot(oh, vv_l).reshape(gt, k, a, -1)
+        uv = uv + u_l * vvj
+        vd = vd + d_l[..., None] * vvj
+        ud = ud + u_l * d_l[..., None]
         dd = dd + d_l * d_l
-    wdot_ref[0] = uv - ud * vd * (2.0 - dd[:, :, None])
+        return uv, vd, ud, dd
+
+    z = jnp.zeros((gt, k, a, hb), _f32)
+    uv, vd, ud, dd = lax.fori_loop(
+        0, L, body, (z, z, z, jnp.zeros((gt, k, a), _f32))
+    )
+    w = uv - ud * vd * (2.0 - dd[..., None])
+    wdot_ref[...] = w.astype(wdot_ref.dtype)
 
 
 def _wdot_bwd_kernel(idx_ref, maskf_ref, d_ref, u_ref, vv_ref, gw_ref,
                      du_ref, dvv_ref, dd_ref):
-    a, k = idx_ref.shape[1], idx_ref.shape[2]
-    L = u_ref.shape[2]
-    oh = _masked_onehot(idx_ref[0], maskf_ref[0], a, k)
+    gt, k, a = idx_ref.shape
+    L = u_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dd_ref[...] = jnp.zeros_like(dd_ref)
+
+    oh = _block_onehot(idx_ref[...], maskf_ref[...], gt, a, k)
+    gw = gw_ref[...].astype(_f32)  # [GT, k, A, hb]
+    hb = gw.shape[-1]
+
     # pass 1: rematerialize vd / ud / dd (uv is not needed: duv = gw)
-    vd = jnp.zeros(gw_ref.shape[1:], _f32)
-    ud = jnp.zeros(gw_ref.shape[1:], _f32)
-    dd = jnp.zeros((a, k), _f32)
-    for l in range(L):
-        d_l = d_ref[0, :, l, :]
-        u_l = u_ref[0, :, l, :]
-        vvj = _dot(oh, vv_ref[0, :, l, :]).reshape(a, k, -1)
-        vd = vd + d_l[:, :, None] * vvj
-        ud = ud + u_l[:, None, :] * d_l[:, :, None]
+    def body1(l, carry):
+        vd, ud, dd = carry
+        d_l = d_ref[:, pl.ds(l, 1), :, :].reshape(gt, k, a).astype(_f32)
+        u_l = _bc_rows(
+            u_ref[:, pl.ds(l, 1), :, :].reshape(gt, a, -1).astype(_f32), k
+        )
+        vvj = _dot(
+            oh, vv_ref[:, pl.ds(l, 1), :, :].reshape(gt * a, -1)
+        ).reshape(gt, k, a, -1)
+        vd = vd + d_l[..., None] * vvj
+        ud = ud + u_l * d_l[..., None]
         dd = dd + d_l * d_l
-    gw = gw_ref[0]
-    t = 2.0 - dd[:, :, None]
+        return vd, ud, dd
+
+    z = jnp.zeros((gt, k, a, hb), _f32)
+    vd, ud, dd = lax.fori_loop(
+        0, L, body1, (z, z, jnp.zeros((gt, k, a), _f32))
+    )
+    t = 2.0 - dd[..., None]
     dud = -gw * vd * t
     dvd = -gw * ud * t
-    g_dd = jnp.sum(gw * ud * vd, axis=-1)  # [A, k]
-    for l in range(L):
-        d_l = d_ref[0, :, l, :]
-        u_l = u_ref[0, :, l, :]
-        vvj = _dot(oh, vv_ref[0, :, l, :]).reshape(a, k, -1)
-        dvvj = gw * u_l[:, None, :] + dvd * d_l[:, :, None]
-        dvv_ref[0, :, l, :] = _dotT(oh, dvvj.reshape(a * k, -1))
-        du_ref[0, :, l, :] = (
-            jnp.sum(gw * vvj, axis=1)
-            + jnp.sum(dud * d_l[:, :, None], axis=1)
+    g_dd = jnp.sum(gw * ud * vd, axis=-1)  # [GT, k, A] partial over h block
+
+    def body2(l, _):
+        d_l = d_ref[:, pl.ds(l, 1), :, :].reshape(gt, k, a).astype(_f32)
+        u_l = _bc_rows(
+            u_ref[:, pl.ds(l, 1), :, :].reshape(gt, a, -1).astype(_f32), k
         )
-        dd_ref[0, :, l, :] = (
+        vvj = _dot(
+            oh, vv_ref[:, pl.ds(l, 1), :, :].reshape(gt * a, -1)
+        ).reshape(gt, k, a, -1)
+        dvvj = gw * u_l + dvd * d_l[..., None]
+        dvv_l = _dotT(oh, dvvj.reshape(gt * k * a, -1))  # [GT*A, hb]
+        dvv_ref[:, pl.ds(l, 1), :, :] = dvv_l.reshape(gt, 1, a, -1).astype(
+            dvv_ref.dtype
+        )
+        du_l = (gw * vvj + dud * d_l[..., None]).sum(axis=1)
+        du_ref[:, pl.ds(l, 1), :, :] = du_l.reshape(gt, 1, a, -1).astype(
+            du_ref.dtype
+        )
+        # all three terms are h-sums -> accumulate partials across h blocks
+        dd_l = (
             jnp.sum(dvd * vvj, axis=-1)
-            + jnp.sum(dud * u_l[:, None, :], axis=-1)
+            + jnp.sum(dud * u_l, axis=-1)
             + 2.0 * d_l * g_dd
         )
+        prev = dd_ref[:, pl.ds(l, 1), :, :]
+        dd_ref[:, pl.ds(l, 1), :, :] = prev + dd_l[:, None].astype(
+            dd_ref.dtype
+        )
+        return 0
+
+    lax.fori_loop(0, L, body2, 0)
 
 
-# VMEM budget: per-l [A*k, h] gather product + [A,k,h] accumulators + the
-# [A,L,h] vec/u/vv tiles, all f32, plus Mosaic double-buffering of the
-# per-row inputs. 16 MB/core; leave headroom (the split into two kernels
-# exists because the monolith hit 17.5 MB at bench shapes).
-VMEM_BUDGET = 9 * 2**20
+VMEM_BUDGET = 13 * 2**20
 
 
-def vis_mix_supported(a: int, k: int, L: int, h: int) -> bool:
-    lanes_h = max(h, 128)
-    lanes_a = max(a, 128)
-    lanes_k = max(k, 128)
-    f = 4
-    gathered = a * k * lanes_h * f            # one [A*k, h] product
-    accum = 4 * a * k * lanes_h * f           # uv/vd/ud + one temp
-    tiles = 2 * a * L * lanes_h * f           # u/vv (or vec) rows
-    oh = a * k * lanes_a * f
-    io = 2 * a * k * lanes_h * f + a * L * lanes_h * f + a * L * lanes_k * f
-    return gathered + accum + tiles + oh + 2 * io < VMEM_BUDGET
+def vis_mix_supported(a: int, k: int, L: int, h: int, dtype=None) -> bool:
+    # sub-f32 gate: the in-kernel MXU matmuls run bf16 (exact for bf16
+    # data); the f32 parity path keeps the XLA composition
+    if dtype is not None and jnp.dtype(dtype) == jnp.float32:
+        return False
+    if h > _HB and h % _HB != 0:
+        return False
+    if a % 8 != 0:
+        return False  # edge-k-major layout needs A on sublane boundaries
+    hb = min(h, _HB)
+    lead = _GT * k
+    lanes_h = max(hb, 128)
+    oh = lead * a * max(_GT * a, 128) * 2
+    gathered = lead * a * lanes_h * 4
+    accum = 5 * lead * a * lanes_h * 4
+    io = 2 * (2 * lead * a * lanes_h + 3 * _GT * L * a * lanes_h)
+    return oh + gathered + accum + 2 * io < VMEM_BUDGET
 
 
 def _xla_mix(vec, s1, s2m, d, nbr_idx, nbr_mask, u=None, vv=None):
@@ -219,42 +338,88 @@ def vis_vector_mix(vec, s1, s2m, d, nbr_idx, nbr_mask, u=None, vv=None):
 
     vec/u/vv [G,A,L,h]; s1/s2m [G,A,k,h] (s2m pre-masked); d [G,A,k,L] SH
     edge features; nbr_idx/nbr_mask [G,A,k]. u/vv omitted on the last layer
-    (no edge update). Falls back to the XLA composition off-budget.
+    (no edge update). Falls back to the XLA composition off-budget or on
+    the f32 path.
     """
     g, a, L, h = vec.shape
     k = nbr_idx.shape[-1]
-    if not vis_mix_supported(a, k, L, h):
+    if not vis_mix_supported(a, k, L, h, vec.dtype):
         return _xla_mix(vec, s1, s2m, d, nbr_idx, nbr_mask, u, vv)
-    # one-hot gathers: L matmuls per kernel forward; backward rematerializes
-    # and adds the transpose contractions (factor ~2 net, the
-    # forward-call-site convention of flop_tally)
+    # one-hot gathers: L block-diag matmuls per kernel forward (GT-row
+    # blocks, 4x FLOPs); backward rematerializes and adds the transpose
+    # contractions (factor ~2 net, the forward-call-site convention)
     n_gather = 2 if u is not None else 1
-    flop_tally.add(2 * n_gather * 2 * g * a * k * a * h * L)
+    flop_tally.add(2 * n_gather * 2 * g * a * k * (_GT * a) * h * L)
     vec_agg = _vec_agg(vec, s1, s2m, d, nbr_idx, nbr_mask)
     if u is None:
         return vec_agg, None
     return vec_agg, _wdot(d, u, vv, nbr_idx, nbr_mask)
 
 
-def _base_ins(d, nbr_idx, nbr_mask):
-    dT = jnp.swapaxes(d, 2, 3)  # [G, A, L, k]: per-l slices on a sublane dim
-    return nbr_idx.astype(jnp.int32), nbr_mask.astype(_f32), dT.astype(_f32)
+def _pad_rows(t, g, gp):
+    if g == gp:
+        return t
+    pad = [(0, gp - g)] + [(0, 0)] * (t.ndim - 1)
+    return jnp.pad(t, pad)
 
 
-def _row_spec(*dims):
-    n = len(dims)
-    return pl.BlockSpec((1,) + dims, lambda i: (i,) + (0,) * n)
+def _lmaj(t):
+    """[G, A, L, minor] <-> [G, L, A, minor] (l leads for dynamic slicing)."""
+    return jnp.swapaxes(t, 1, 2)
 
 
-def _cost(g, a, k, L, h, n_mm):
+def _kmaj(t):
+    """[G, A, k, ...] <-> [G, k, A, ...] (edge-k-major kernel layout)."""
+    return jnp.swapaxes(t, 1, 2)
+
+
+def _base_ins(d, nbr_idx, nbr_mask, gp):
+    g = d.shape[0]
+    dT = jnp.transpose(d, (0, 3, 2, 1))  # [G, L, k, A]
+    return (
+        _pad_rows(_kmaj(nbr_idx.astype(jnp.int32)), g, gp),
+        # mask stays f32: Mosaic can't insert a minor dim on 16-bit types
+        # (_block_onehot does maskf[:, :, None])
+        _pad_rows(_kmaj(nbr_mask.astype(_f32)), g, gp),
+        _pad_rows(dT, g, gp),
+    )
+
+
+def _ik_spec(k, a):
+    return pl.BlockSpec((_GT, k, a), lambda i, j: (i, 0, 0))
+
+
+def _d_spec(L, k, a):
+    return pl.BlockSpec((_GT, L, k, a), lambda i, j: (i, 0, 0, 0))
+
+
+def _l_spec(L, a, hb):
+    """[G, L, A, h] l-major tensors, blocked over rows and h."""
+    return pl.BlockSpec((_GT, L, a, hb), lambda i, j: (i, 0, 0, j))
+
+
+def _k_spec(k, a, hb):
+    """[G, k, A, h] edge-k-major tensors, blocked over rows and h."""
+    return pl.BlockSpec((_GT, k, a, hb), lambda i, j: (i, 0, 0, j))
+
+
+def _cost(g, a, k, L, h, n_mm, dt):
+    b = jnp.dtype(dt).itemsize
     return pl.CostEstimate(
-        flops=n_mm * 2 * g * a * k * a * h * L,
-        bytes_accessed=4 * g * a * (2 * L * h + 2 * k * h + L * k),
+        flops=n_mm * 2 * g * a * k * (_GT * a) * h * L,
+        bytes_accessed=b * g * a * (2 * L * h + 2 * k * h + L * k),
         transcendentals=0,
     )
 
 
 _interp = lambda: jax.default_backend() != "tpu"  # noqa: E731
+
+
+def _params():
+    """Raise the scoped-VMEM stack limit: Mosaic unrolls the l fori-loop and
+    its allocator keeps per-iteration temps live (the backward measured
+    29.9 MB against the default 16 MB scope at bench shapes)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
 @jax.custom_vjp
@@ -266,52 +431,59 @@ def _vec_agg(vec, s1, s2m, d, nbr_idx, nbr_mask):
 def _vec_agg_fwd(vec, s1, s2m, d, nbr_idx, nbr_mask):
     g, a, L, h = vec.shape
     k = nbr_idx.shape[-1]
-    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask)
+    hb = min(h, _HB)
+    gp = ((g + _GT - 1) // _GT) * _GT
+    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask, gp)
     vec_agg = pl.pallas_call(
         _agg_fwd_kernel,
-        grid=(g,),
+        grid=(gp // _GT, h // hb),
         in_specs=[
-            _row_spec(a, k), _row_spec(a, k), _row_spec(a, L, h),
-            _row_spec(a, k, h), _row_spec(a, k, h), _row_spec(a, L, k),
+            _ik_spec(k, a), _ik_spec(k, a), _l_spec(L, a, hb),
+            _k_spec(k, a, hb), _k_spec(k, a, hb), _d_spec(L, k, a),
         ],
-        out_specs=_row_spec(a, L, h),
-        out_shape=jax.ShapeDtypeStruct((g, a, L, h), _f32),
-        cost_estimate=_cost(g, a, k, L, h, 1),
+        out_specs=_l_spec(L, a, hb),
+        out_shape=jax.ShapeDtypeStruct((gp, L, a, h), vec.dtype),
+        cost_estimate=_cost(g, a, k, L, h, 1, vec.dtype),
+        compiler_params=_params(),
         interpret=_interp(),
-    )(idx, maskf, vec.astype(_f32), s1.astype(_f32), s2m.astype(_f32), dT)
-    return vec_agg.astype(vec.dtype), (vec, s1, s2m, d, nbr_idx, nbr_mask)
+    )(idx, maskf, _pad_rows(_lmaj(vec), g, gp), _pad_rows(_kmaj(s1), g, gp),
+      _pad_rows(_kmaj(s2m), g, gp), dT)
+    return _lmaj(vec_agg[:g]), (vec, s1, s2m, d, nbr_idx, nbr_mask)
 
 
 def _vec_agg_bwd(res, g_va):
     vec, s1, s2m, d, nbr_idx, nbr_mask = res
     g, a, L, h = vec.shape
     k = nbr_idx.shape[-1]
-    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask)
+    hb = min(h, _HB)
+    gp = ((g + _GT - 1) // _GT) * _GT
+    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask, gp)
     dvec, ds1, ds2m, ddT = pl.pallas_call(
         _agg_bwd_kernel,
-        grid=(g,),
+        grid=(gp // _GT, h // hb),
         in_specs=[
-            _row_spec(a, k), _row_spec(a, k), _row_spec(a, L, h),
-            _row_spec(a, k, h), _row_spec(a, k, h), _row_spec(a, L, k),
-            _row_spec(a, L, h),
+            _ik_spec(k, a), _ik_spec(k, a), _l_spec(L, a, hb),
+            _k_spec(k, a, hb), _k_spec(k, a, hb), _d_spec(L, k, a),
+            _l_spec(L, a, hb),
         ],
         out_specs=[
-            _row_spec(a, L, h), _row_spec(a, k, h), _row_spec(a, k, h),
-            _row_spec(a, L, k),
+            _l_spec(L, a, hb), _k_spec(k, a, hb), _k_spec(k, a, hb),
+            _d_spec(L, k, a),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, a, L, h), _f32),
-            jax.ShapeDtypeStruct((g, a, k, h), _f32),
-            jax.ShapeDtypeStruct((g, a, k, h), _f32),
-            jax.ShapeDtypeStruct((g, a, L, k), _f32),
+            jax.ShapeDtypeStruct((gp, L, a, h), vec.dtype),
+            jax.ShapeDtypeStruct((gp, k, a, h), s1.dtype),
+            jax.ShapeDtypeStruct((gp, k, a, h), s2m.dtype),
+            jax.ShapeDtypeStruct((gp, L, k, a), _f32),
         ],
-        cost_estimate=_cost(g, a, k, L, h, 2),
+        cost_estimate=_cost(g, a, k, L, h, 2, vec.dtype),
+        compiler_params=_params(),
         interpret=_interp(),
-    )(idx, maskf, vec.astype(_f32), s1.astype(_f32), s2m.astype(_f32), dT,
-      g_va.astype(_f32))
+    )(idx, maskf, _pad_rows(_lmaj(vec), g, gp), _pad_rows(_kmaj(s1), g, gp),
+      _pad_rows(_kmaj(s2m), g, gp), dT, _pad_rows(_lmaj(g_va), g, gp))
     return (
-        dvec.astype(vec.dtype), ds1.astype(s1.dtype), ds2m.astype(s2m.dtype),
-        jnp.swapaxes(ddT, 2, 3).astype(d.dtype), None, None,
+        _lmaj(dvec[:g]), _kmaj(ds1[:g]), _kmaj(ds2m[:g]),
+        jnp.transpose(ddT[:g], (0, 3, 2, 1)).astype(d.dtype), None, None,
     )
 
 
@@ -327,48 +499,55 @@ def _wdot(d, u, vv, nbr_idx, nbr_mask):
 def _wdot_fwd(d, u, vv, nbr_idx, nbr_mask):
     g, a, L, h = u.shape
     k = nbr_idx.shape[-1]
-    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask)
+    hb = min(h, _HB)
+    gp = ((g + _GT - 1) // _GT) * _GT
+    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask, gp)
     w_dot = pl.pallas_call(
         _wdot_fwd_kernel,
-        grid=(g,),
+        grid=(gp // _GT, h // hb),
         in_specs=[
-            _row_spec(a, k), _row_spec(a, k), _row_spec(a, L, k),
-            _row_spec(a, L, h), _row_spec(a, L, h),
+            _ik_spec(k, a), _ik_spec(k, a), _d_spec(L, k, a),
+            _l_spec(L, a, hb), _l_spec(L, a, hb),
         ],
-        out_specs=_row_spec(a, k, h),
-        out_shape=jax.ShapeDtypeStruct((g, a, k, h), _f32),
-        cost_estimate=_cost(g, a, k, L, h, 1),
+        out_specs=_k_spec(k, a, hb),
+        out_shape=jax.ShapeDtypeStruct((gp, k, a, h), u.dtype),
+        cost_estimate=_cost(g, a, k, L, h, 1, u.dtype),
+        compiler_params=_params(),
         interpret=_interp(),
-    )(idx, maskf, dT, u.astype(_f32), vv.astype(_f32))
-    return w_dot.astype(u.dtype), (d, u, vv, nbr_idx, nbr_mask)
+    )(idx, maskf, dT, _pad_rows(_lmaj(u), g, gp), _pad_rows(_lmaj(vv), g, gp))
+    return _kmaj(w_dot[:g]), (d, u, vv, nbr_idx, nbr_mask)
 
 
 def _wdot_bwd(res, g_w):
     d, u, vv, nbr_idx, nbr_mask = res
     g, a, L, h = u.shape
     k = nbr_idx.shape[-1]
-    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask)
+    hb = min(h, _HB)
+    gp = ((g + _GT - 1) // _GT) * _GT
+    idx, maskf, dT = _base_ins(d, nbr_idx, nbr_mask, gp)
     du, dvv, ddT = pl.pallas_call(
         _wdot_bwd_kernel,
-        grid=(g,),
+        grid=(gp // _GT, h // hb),
         in_specs=[
-            _row_spec(a, k), _row_spec(a, k), _row_spec(a, L, k),
-            _row_spec(a, L, h), _row_spec(a, L, h), _row_spec(a, k, h),
+            _ik_spec(k, a), _ik_spec(k, a), _d_spec(L, k, a),
+            _l_spec(L, a, hb), _l_spec(L, a, hb), _k_spec(k, a, hb),
         ],
         out_specs=[
-            _row_spec(a, L, h), _row_spec(a, L, h), _row_spec(a, L, k),
+            _l_spec(L, a, hb), _l_spec(L, a, hb), _d_spec(L, k, a),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, a, L, h), _f32),
-            jax.ShapeDtypeStruct((g, a, L, h), _f32),
-            jax.ShapeDtypeStruct((g, a, L, k), _f32),
+            jax.ShapeDtypeStruct((gp, L, a, h), u.dtype),
+            jax.ShapeDtypeStruct((gp, L, a, h), vv.dtype),
+            jax.ShapeDtypeStruct((gp, L, k, a), _f32),
         ],
-        cost_estimate=_cost(g, a, k, L, h, 4),
+        cost_estimate=_cost(g, a, k, L, h, 4, u.dtype),
+        compiler_params=_params(),
         interpret=_interp(),
-    )(idx, maskf, dT, u.astype(_f32), vv.astype(_f32), g_w.astype(_f32))
+    )(idx, maskf, dT, _pad_rows(_lmaj(u), g, gp), _pad_rows(_lmaj(vv), g, gp),
+      _pad_rows(_kmaj(g_w), g, gp))
     return (
-        jnp.swapaxes(ddT, 2, 3).astype(d.dtype),
-        du.astype(u.dtype), dvv.astype(vv.dtype), None, None,
+        jnp.transpose(ddT[:g], (0, 3, 2, 1)).astype(d.dtype),
+        _lmaj(du[:g]), _lmaj(dvv[:g]), None, None,
     )
 
 

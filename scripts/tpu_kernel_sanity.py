@@ -214,36 +214,45 @@ def main():
     from equihgnn_tpu.ops.pallas import vis_mix as vm
 
     g, a, k, L, h = 6, 32, 17, 8, 256  # bench shapes
-    vec = jnp.asarray(rng.standard_normal((g, a, L, h)), jnp.float32)
-    s1 = jnp.asarray(rng.standard_normal((g, a, k, h)) * 0.3, jnp.float32)
-    s2m = jnp.asarray(rng.standard_normal((g, a, k, h)) * 0.3, jnp.float32)
-    dsh = jnp.asarray(rng.standard_normal((g, a, k, L)) * 0.5, jnp.float32)
+    # PRODUCTION dtype: the kernel is sub-f32-gated (bf16 I/O halves its
+    # VMEM blocks — f32 I/O at these shapes exceeds the 16 MB scoped limit);
+    # the f32 reference computes on the same bf16-quantized values
+    bq = lambda x: jnp.asarray(x, jnp.float32).astype(jnp.bfloat16)  # noqa: E731
+    vec = bq(rng.standard_normal((g, a, L, h)))
+    s1 = bq(rng.standard_normal((g, a, k, h)) * 0.3)
+    s2m = bq(rng.standard_normal((g, a, k, h)) * 0.3)
+    dsh = bq(rng.standard_normal((g, a, k, L)) * 0.5)
     vidx = jnp.asarray(rng.integers(0, a, (g, a, k)), jnp.int32)
     vmask = jnp.asarray(rng.random((g, a, k)) > 0.2)
-    vu = jnp.asarray(rng.standard_normal((g, a, L, h)) * 0.3, jnp.float32)
-    vvv = jnp.asarray(rng.standard_normal((g, a, L, h)) * 0.3, jnp.float32)
+    vu = bq(rng.standard_normal((g, a, L, h)) * 0.3)
+    vvv = bq(rng.standard_normal((g, a, L, h)) * 0.3)
+    f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
     va_k, wd_k = jax.jit(vm._mix_edge)(vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
-    va_r, wd_r = vm._xla_mix(vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
-    oks.append(check("vis_mix fwd vec_agg", va_k, va_r))
-    oks.append(check("vis_mix fwd w_dot", wd_k, wd_r))
+    va_r, wd_r = vm._xla_mix(f32(vec), f32(s1), f32(s2m), f32(dsh), vidx,
+                             vmask, f32(vu), f32(vvv))
+    # vis_mix runs bf16 MXU operands (sub-f32-gated kernel): compare
+    # at bf16 tolerance, not the f32-HIGHEST tolerance of the other checks
+    oks.append(check("vis_mix fwd vec_agg", va_k, va_r, 2e-2))
+    oks.append(check("vis_mix fwd w_dot", wd_k, wd_r, 2e-2))
     r1 = jnp.asarray(rng.standard_normal(vec.shape), jnp.float32)
     r2 = jnp.asarray(rng.standard_normal(s1.shape), jnp.float32)
 
     def vl(fn, *args):
         va_, wd_ = fn(*args)
-        return jnp.sum(va_ * r1) + jnp.sum(wd_ * r2)
+        return (jnp.sum(va_.astype(jnp.float32) * r1)
+                + jnp.sum(wd_.astype(jnp.float32) * r2))
 
     gv = jax.jit(jax.grad(lambda *ar: vl(vm._mix_edge, *ar),
                           argnums=(0, 1, 2, 3, 6, 7)))(
         vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
     grv = jax.jit(jax.grad(lambda *ar: vl(vm._xla_mix, *ar),
                            argnums=(0, 1, 2, 3, 6, 7)))(
-        vec, s1, s2m, dsh, vidx, vmask, vu, vvv)
+        f32(vec), f32(s1), f32(s2m), f32(dsh), vidx, vmask, f32(vu), f32(vvv))
     for nm, a_, b_ in zip(("dvec", "ds1", "ds2m", "dd", "du", "dvv"), gv, grv):
-        oks.append(check(f"vis_mix grad {nm}", a_, b_))
+        oks.append(check(f"vis_mix grad {nm}", a_, b_, 2e-2))
     va_k2 = jax.jit(vm._mix_last)(vec, s1, s2m, dsh, vidx, vmask)
-    va_r2, _ = vm._xla_mix(vec, s1, s2m, dsh, vidx, vmask)
-    oks.append(check("vis_mix last fwd", va_k2, va_r2))
+    va_r2, _ = vm._xla_mix(f32(vec), f32(s1), f32(s2m), f32(dsh), vidx, vmask)
+    oks.append(check("vis_mix last fwd", va_k2, va_r2, 2e-2))
 
     # ----------------------------------------------------------- segment_sum
     from equihgnn_tpu.ops.pallas.segment_sum import sorted_segment_sum
