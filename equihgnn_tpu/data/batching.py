@@ -87,7 +87,9 @@ def spec_for_samples(
         # On near-uniform molecule sizes FFD lands within a few % of OPT, so
         # 1.15 headroom suffices — every all-padding row costs HBM in every
         # dense [R, A, ...] encoder tensor.
-        num_slot_rows=int(num_atoms / a_max * 1.15) + 3,
+        # rounded to a multiple of 4: the vis_mix kernels block rows in
+                # fours; an unaligned R pad-copies every kernel operand
+                num_slot_rows=-(-(int(num_atoms / a_max * 1.15) + 3) // 4) * 4,
         num_hedge_slots=int(np.ceil(a_max * float((n_edge / np.maximum(n_atoms, 1)).max()))) + 1,
         num_inc_slots=int(np.ceil(a_max * float((nnz / np.maximum(n_atoms, 1)).max()))) + 1,
     )

@@ -387,7 +387,9 @@ def make_packed_buckets(
                 num_hedges=cap(ne[sel]),
                 nnz=cap(nz[sel]),
                 max_atoms_per_graph=a_max,
-                num_slot_rows=int(num_atoms / a_max * 1.15) + 3,
+                # rounded to a multiple of 4: the vis_mix kernels block rows in
+                # fours; an unaligned R pad-copies every kernel operand
+                num_slot_rows=-(-(int(num_atoms / a_max * 1.15) + 3) // 4) * 4,
             )
             buckets.append((sel, spec))
         lo = hi_b

@@ -363,7 +363,7 @@ class ViSNet(nn.Module):
     max_num_neighbors: int = 32
     vertex: bool = False
     std: float = 1.0
-    remat_layers: bool = True  # recompute per-layer edge tensors in backward
+    remat_layers: Optional[bool] = None  # None: off iff the fused kernel runs
     dtype: str | None = None  # e.g. "bfloat16": layer-loop compute dtype
 
     @nn.compact
@@ -434,8 +434,18 @@ class ViSNet(nn.Module):
 
         # per-layer remat: backward recomputes the [G,A,k,·] edge tensors of
         # one layer at a time instead of saving six layers' worth (~16 GB at
-        # batch 768 on a 16 GB chip)
-        mp_cls = nn.remat(ViS_MP) if self.remat_layers else ViS_MP
+        # batch 768 on a 16 GB chip). With the fused vis_mix kernels the
+        # per-layer residuals are ~0.5 GB and skipping remat removes a full
+        # forward recompute (428 -> 325 ms measured), so default to remat
+        # only on the unfused path.
+        from equihgnn_tpu.ops.pallas.vis_mix import vis_mix_supported
+
+        remat_layers = self.remat_layers
+        if remat_layers is None:
+            remat_layers = not vis_mix_supported(
+                a_, self.max_num_neighbors + 1, L, h, x.dtype
+            )
+        mp_cls = nn.remat(ViS_MP) if remat_layers else ViS_MP
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             dx, dvec, df = mp_cls(
