@@ -48,12 +48,22 @@ def _onehot_k(idx, kk, a):
     return (cols == idx[:, kk][:, None]).astype(jnp.float32)
 
 
-def _dot(x, y):
+def _dot(x, y, mm_bf16=False):
+    """MXU matmul, f32 accumulation. On the sub-f32 activation path the
+    operands are cast to bf16 (exact re-casts of bf16 data; f32 operands
+    run the v5e MXU in multi-pass emulation — the kernel measured 7.5 ms
+    of the 18.7 ms egnn step before this gate, PERF.md round 5)."""
+    if mm_bf16:
+        return jnp.dot(
+            x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref, w1_ref,
-                b1_ref, out_ref):
+def _fwd_kernel(mm_bf16, ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref,
+                w1_ref, b1_ref, out_ref):
     a, k = idx_ref.shape[1], idx_ref.shape[2]
     ui = ui_ref[0]
     ujn = ujn_ref[0]
@@ -62,15 +72,15 @@ def _fwd_kernel(ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref, w1_ref,
     for kk in range(k):
         pre = (
             base
-            + _dot(_onehot_k(idx, kk, a), ujn)
+            + _dot(_onehot_k(idx, kk, a), ujn, mm_bf16)
             + dist_ref[0][:, kk][:, None] * wd_ref[0][None, :]
         )
-        z = _dot(_silu(pre), w1_ref[:, :]) + b1_ref[0][None, :]
+        z = _dot(_silu(pre), w1_ref[:, :], mm_bf16) + b1_ref[0][None, :]
         out_ref[0, kk] = _silu(z)
 
 
-def _bwd_kernel(ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref, w1_ref,
-                b1_ref, dm_ref,
+def _bwd_kernel(mm_bf16, ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref,
+                w1_ref, b1_ref, dm_ref,
                 dui_ref, dujn_ref, ddist_ref, dwd_ref, db0_ref, dw1_ref,
                 db1_ref):
     g = pl.program_id(0)
@@ -99,19 +109,19 @@ def _bwd_kernel(ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref, w1_ref,
     for kk in range(k):
         oh = _onehot_k(idx, kk, a)
         dist_col = dist_ref[0][:, kk][:, None]
-        pre = base + _dot(oh, ujn) + dist_col * wd
+        pre = base + _dot(oh, ujn, mm_bf16) + dist_col * wd
         a1 = _silu(pre)
-        z = _dot(a1, w1_ref[:, :]) + b1_ref[0][None, :]
+        z = _dot(a1, w1_ref[:, :], mm_bf16) + b1_ref[0][None, :]
         dm = dm_ref[0, kk]  # [A, m]
         dz = dm * _dsilu(z)
-        dw1_acc = dw1_acc + _dot(a1.T, dz)
+        dw1_acc = dw1_acc + _dot(a1.T, dz, mm_bf16)
         db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
-        dpre = _dot(dz, w1_ref[:, :].T) * _dsilu(pre)
+        dpre = _dot(dz, w1_ref[:, :].T, mm_bf16) * _dsilu(pre)
         db0_acc = db0_acc + jnp.sum(dpre, axis=0, keepdims=True)
         dwd_acc = dwd_acc + jnp.sum(dpre * dist_col, axis=0, keepdims=True)
         ddist_ref[0, kk] = jnp.sum(dpre * wd, axis=1, keepdims=True)
         dui = dui + dpre
-        dujn = dujn + _dot(oh.T, dpre)
+        dujn = dujn + _dot(oh.T, dpre, mm_bf16)
 
     dui_ref[0] = dui
     dujn_ref[0] = dujn
@@ -163,7 +173,7 @@ def _fwd_impl(ui, ujn, dist, nbr_idx, wd, b0, w1, b1):
     k = nbr_idx.shape[-1]
     m = w1.shape[-1]
     out = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, jnp.dtype(ui.dtype) != jnp.float32),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, a, f), lambda i: (i, 0, 0)),
@@ -206,7 +216,7 @@ def _vjp_bwd(res, dm):
     k = nbr_idx.shape[-1]
     m = w1.shape[-1]
     outs = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, jnp.dtype(ui.dtype) != jnp.float32),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, a, f), lambda i: (i, 0, 0)),
