@@ -39,10 +39,13 @@ sys.path.insert(0, os.path.abspath(os.path.join(REPO, "scripts")))
 from learning_check import learnable_target  # noqa: E402
 
 
-def make_data(n_train: int, n_val: int):
+def make_data(n_train: int, n_val: int, min_atoms: int = 4,
+              max_atoms: int = 12):
     from equihgnn_tpu.data.synthetic import make_synthetic_dataset
 
-    samples = make_synthetic_dataset(n_train + n_val, seed=5, max_atoms=12)
+    samples = make_synthetic_dataset(
+        n_train + n_val, seed=5, min_atoms=min_atoms, max_atoms=max_atoms
+    )
     ys = np.array([learnable_target(s) for s in samples], np.float64)
     for s, y in zip(samples, ys):
         s.y = np.float32(y)
@@ -78,6 +81,14 @@ def run_reference(method: str, train, val, mean, std, epochs: int, lr: float,
         )
 
         model = SE3TransformerEquiHNNS(1, Args())
+    elif method == "egnn_equihnns":
+        from equihgnn.models.equihnn_egnn import EGNNEquiHNNS
+
+        model = EGNNEquiHNNS(1, Args())
+    elif method == "visnet_equihnns":
+        from equihgnn.models.equihnn_visnet import VisNetEquiHNNS
+
+        model = VisNetEquiHNNS(1, Args())
     else:
         from equihgnn.models.equihnn_fa_former import FAFormerEquiHNNS
 
@@ -180,6 +191,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="both",
                     choices=["both", "equiformer_equihnns",
+                             "egnn_equihnns", "visnet_equihnns",
                              "se3_transformer_equihnns",
                              "faformer_equihnns"])
     ap.add_argument("--epochs", type=int, default=12)
@@ -190,6 +202,11 @@ def main():
     # per-molecule semantics DIFFER (documented deviation, PARITY.md) — the
     # faformer multi-molecule run quantifies that deviation's MAE impact.
     ap.add_argument("--batch-size", type=int, default=1)
+    # egnn needs >= 17 atoms per torch-reference forward (topk k=16 over the
+    # batch point cloud crashes below that); per-molecule sizes also keep
+    # batch_size=1 semantics aligned
+    ap.add_argument("--min-atoms", type=int, default=4)
+    ap.add_argument("--max-atoms", type=int, default=12)
     args = ap.parse_args()
 
     methods = (
@@ -203,12 +220,14 @@ def main():
         with open(out_path) as f:
             results = json.load(f)
     for method in methods:
-        train, val, mean, std, base_mae = make_data(args.n_train, args.n_val)
+        train, val, mean, std, base_mae = make_data(
+            args.n_train, args.n_val, args.min_atoms, args.max_atoms)
         print(f"== {method}: baseline (predict-mean) val MAE {base_mae:.4f}")
         ours = run_ours(method, train, val, mean, std, args.epochs, args.lr,
                         args.batch_size)
         # regenerate samples: run_ours normalized y in place
-        train, val, mean, std, base_mae = make_data(args.n_train, args.n_val)
+        train, val, mean, std, base_mae = make_data(
+            args.n_train, args.n_val, args.min_atoms, args.max_atoms)
         ref = run_reference(method, train, val, mean, std, args.epochs,
                             args.lr, args.batch_size)
         key = (method if args.batch_size == 1
