@@ -163,6 +163,8 @@ def make_synthetic_packed(
     num_targets: int = 1,
     with_pos: bool = True,
     chunk: int = 20_000,
+    min_atoms: int = 4,
+    max_atoms: int = 29,
 ):
     """Directly build a `PackedSamples` of `n` synthetic molecules.
 
@@ -179,7 +181,8 @@ def make_synthetic_packed(
         m = min(chunk, n - done)
         samples = [
             random_hypergraph_sample(
-                rng, num_targets=num_targets, with_pos=with_pos
+                rng, num_targets=num_targets, with_pos=with_pos,
+                min_atoms=min_atoms, max_atoms=max_atoms,
             )
             for _ in range(m)
         ]

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--num_devices", default=None, type=int)
     p.add_argument("--synthetic_size", default=None, type=int)
+    # Molecule3D-size validation knob (molecules up to low hundreds of
+    # atoms, `reference equihgnn/data/molecule3d.py:125-260`)
+    p.add_argument("--synthetic_max_atoms", default=29, type=int)
     p.add_argument("--pack_slots", action="store_true",
                    help="pack small molecules into shared dense slot rows")
     p.add_argument("--buckets", default=None, type=str,
@@ -305,7 +308,10 @@ def _run_streaming(args) -> dict:
             if packed.n != size:
                 packed = None
         if packed is None:
-            packed = make_synthetic_packed(size, seed=0, num_targets=16)
+            packed = make_synthetic_packed(
+                size, seed=0, num_targets=16,
+                max_atoms=args.synthetic_max_atoms,
+            )
             if cache:
                 save_packed_dir(packed, cache)
                 packed = packed_from_dir(cache, mmap=True)

@@ -131,14 +131,18 @@ def _bwd_kernel(mm_bf16, ui_ref, ujn_ref, dist_ref, idx_ref, wd_ref, b0_ref,
     db1_ref[0] = db1_ref[0] + db1_acc[0]
 
 
-# VMEM budget: ui/ujn/dui/dujn [A, F] tiles + per-k temporaries + W1 blocks.
+# VMEM budget: ui/ujn/dui/dujn [A, F] tiles + W1 blocks + ~2 live tiles per
+# UNROLLED k iteration — Mosaic's stack allocator keeps unrolled-loop temps
+# live (measured: a=200, k=16, F=1026 allocated 31.2 MB against the 16 MB
+# scope; the old 8-tile model predicted 8.6 MB and wrongly admitted it —
+# found by the Molecule3D-size large-A validation, SCALE.md round 5).
 VMEM_BUDGET = 12 * 2**20
 
 
 def _supported(a, k, f, m):
     lanes_f = ((f + 127) // 128) * 128
     tile = a * lanes_f * 4
-    return 8 * tile + 2 * lanes_f * max(m, 128) * 4 < VMEM_BUDGET
+    return (8 + 2 * k) * tile + 2 * lanes_f * max(m, 128) * 4 < VMEM_BUDGET
 
 
 def _xla_forward(ui, ujn, dist, nbr_idx, wd, b0, w1, b1):

@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=768)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--max_atoms", type=int, default=29)
     args = ap.parse_args()
 
     samples = []
@@ -68,6 +69,7 @@ def main():
         "--All_num_layers", "3", "--MLP_hidden", str(args.hidden),
         "--output_hidden", "128", "--output_num_layers", "3",
         "--aggregate", "mean", "--lr", "0.0001",
+        "--synthetic_max_atoms", str(args.max_atoms),
     ]
     if args.platform:
         cli += ["--platform", args.platform]
@@ -82,6 +84,7 @@ def main():
     report = {
         "method": args.method,
         "molecules": args.size,
+        "max_atoms": args.max_atoms,
         "epochs": args.epochs,
         "wall_s": round(wall, 1),
         "test_mae_raw": result.get("test_mae_raw"),
