@@ -12,7 +12,10 @@ from equihgnn_tpu.data.synthetic import make_synthetic_dataset
 from equihgnn_tpu.models.config import ModelConfig
 
 
-def _batches(n=10, seed=11):
+def _batches(n=40, seed=11):
+    # n large enough that bin-packing beats one-row-per-graph even after
+    # the row count is rounded up to a multiple of 4 (the vis_mix kernels'
+    # row block); at n=10 the alignment alone can cost the win
     samples = make_synthetic_dataset(n, seed=seed)
     spec = spec_for_samples(samples, batch_size=n)
     unpacked = pad_hypergraph_batch(samples, spec, target=0, with_pos=True)
